@@ -1,0 +1,568 @@
+"""Datasets and fixed-shape batch packing.
+
+Mirrors the reference data layer (yellow-binary-tree/STAIR
+``video_nmn/dataset.py``) on the host side — GloVe word embeddings, npy/h5
+video-feature preloading with the same subsampling/truncation rules, answer
+vocabulary with the pinned ``yes/no/before/after`` head — but replaces the
+batch-size-1 collate (``dataset.py:463-464``) with a packer that lowers every
+program to its instruction trace and pads questions/videos/traces into fixed
+[B, ...] arrays, so a whole batch executes as one XLA program.
+
+Supervision targets from the symbolic executor are packed here too, as dense
+per-step arrays (see ``SupervisionPack``): attention golds are rasterized
+from fractional frame intervals with the reference's exact
+``span_to_attention`` semantics (``train_module.py:67-81``), and contrastive
+golds become per-batch class tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import pickle
+import random
+from dataclasses import dataclass
+
+import numpy as np
+
+from stair_tpu.ir.lowering import (
+    OP_FAMILY,
+    Opcode,
+    Trace,
+    lower_program,
+    pad_traces,
+)
+from stair_tpu.programs.text import tokenize
+
+
+# ---------------------------------------------------------------------------
+# GloVe
+# ---------------------------------------------------------------------------
+
+class WordEmbeddings:
+    """GloVe-style embeddings; deterministic hash-seeded vectors for OOV.
+
+    (The reference draws a fresh ``np.random.rand`` vector per OOV occurrence
+    — dataset.py:254 — which is nondeterministic; hashing the word keeps runs
+    reproducible without changing in-vocabulary behavior.)
+    """
+
+    def __init__(self, filename: str):
+        if filename.endswith(".pkl"):
+            with open(filename, "rb") as f:
+                self.table = pickle.load(f)
+            self.dim = len(next(iter(self.table.values())))
+        else:
+            self.table = {}
+            with open(filename) as f:
+                first = f.readline().split(" ")
+                has_header = len(first) == 2
+                if not has_header:
+                    word, vec = first[0], first[1:]
+                    self.table[word] = np.asarray(vec, dtype=np.float64)
+                for line in f:
+                    parts = line.rstrip("\n").split(" ")
+                    self.table[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
+            self.dim = len(next(iter(self.table.values())))
+
+    def embed_words(self, words: list[str]) -> np.ndarray:
+        out = np.empty((len(words), self.dim), dtype=np.float32)
+        for i, w in enumerate(words):
+            vec = self.table.get(w)
+            if vec is None:
+                seed = int.from_bytes(
+                    hashlib.sha256(w.encode()).digest()[:4], "little"
+                )
+                vec = np.random.RandomState(seed).rand(self.dim)
+            out[i] = vec
+        return out
+
+    def embed_sentence(self, sent) -> np.ndarray:
+        if isinstance(sent, str):
+            words = [w.lower() for w in tokenize(sent)]
+        else:
+            words = [w.lower() for w in sent]
+        return self.embed_words(words)
+
+
+# ---------------------------------------------------------------------------
+# Video features
+# ---------------------------------------------------------------------------
+
+def load_video_features(
+    appearance_path: str,
+    motion_path: str | None,
+    video_ids: set[str],
+    max_video_length: int,
+    str2num: dict | None = None,
+) -> dict[str, np.ndarray]:
+    """Preload per-video features, matching the reference's regimes:
+
+    * npy directory (I3D): stride-2 temporal subsample then truncate
+      (ref dataset.py:134-143);
+    * h5 file: ``resnet_features`` mean over the clip axis, optional
+      ``resnext_features`` motion concat (ref dataset.py:145-172).
+    """
+    feats: dict[str, np.ndarray] = {}
+    if os.path.isdir(appearance_path):
+        for fname in os.listdir(appearance_path):
+            vid = fname.split(".")[0]
+            if vid not in video_ids:
+                continue
+            arr = np.load(os.path.join(appearance_path, fname))
+            arr = arr[::2][:max_video_length]
+            feats[vid] = np.squeeze(np.asarray(arr, dtype=np.float32))
+    elif os.path.isfile(appearance_path):
+        import h5py
+
+        with h5py.File(appearance_path, "r") as f:
+            ids = {id_: i for i, id_ in enumerate(f["ids"][()])}
+            for vid, num in (str2num or {}).items():
+                if vid not in video_ids:
+                    continue
+                arr = f["resnet_features"][ids[num]][:max_video_length]
+                feats[vid] = np.asarray(arr, dtype=np.float32).mean(axis=1)
+    else:
+        raise ValueError("appearance feature path not found: %s" % appearance_path)
+
+    if motion_path is not None and os.path.isfile(motion_path):
+        import h5py
+
+        with h5py.File(motion_path, "r") as f:
+            ids = {id_: i for i, id_ in enumerate(f["ids"][()])}
+            for vid, num in (str2num or {}).items():
+                if vid in feats:
+                    arr = f["resnext_features"][ids[num]][:max_video_length]
+                    feats[vid] = np.concatenate(
+                        [feats[vid], np.asarray(arr, dtype=np.float32)], axis=-1
+                    )
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# Answer vocabulary
+# ---------------------------------------------------------------------------
+
+def build_or_load_answer_vocab(vocab_filename: str, answers: list[str]) -> dict:
+    """yes/no/before/after pinned first, then by frequency, <UNK> last.
+    ref: dataset.py:71-95"""
+    if os.path.exists(vocab_filename):
+        with open(vocab_filename) as f:
+            vocab = json.load(f)
+        vocab["id2word"] = {int(k): v for k, v in vocab["id2word"].items()}
+        head = [vocab["id2word"][i] for i in range(4)]
+        if head != ["yes", "no", "before", "after"]:
+            raise ValueError("answer vocab head must be yes/no/before/after")
+        return vocab
+    from collections import Counter
+
+    ordered = ["yes", "no", "before", "after"]
+    seen = set(ordered)
+    for ans, _ in sorted(Counter(answers).items(), key=lambda x: -x[1]):
+        if ans not in seen:
+            ordered.append(ans)
+            seen.add(ans)
+    ordered.append("<UNK>")
+    vocab = {
+        "word2id": {w: i for i, w in enumerate(ordered)},
+        "id2word": {i: w for i, w in enumerate(ordered)},
+    }
+    with open(vocab_filename, "w") as f:
+        json.dump(
+            {"word2id": vocab["word2id"],
+             "id2word": {str(k): v for k, v in vocab["id2word"].items()}},
+            f,
+        )
+    return vocab
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DataPaths:
+    rgb_path: str
+    glove_filename: str
+    vocab_filename: str
+    video_secs_path: str
+    train_filename: str = ""
+    valid_filename: str = ""
+    test_filename: str = ""
+    flow_path: str | None = None
+    str2num_path: str | None = None
+    word2id_filename: str | None = None
+
+
+class AGQADataset:
+    """Loads converted records + features; lowers every program once."""
+
+    def __init__(
+        self,
+        paths: DataPaths,
+        split: str,
+        max_video_length: int = 150,
+        novel_comp: int | None = None,
+        more_steps: int | None = None,
+        debug: bool = False,
+        seed: int = 0,
+    ):
+        self.split = split
+        self.max_video_length = max_video_length
+        filename = {
+            "train": paths.train_filename,
+            "valid": paths.valid_filename,
+            "test": paths.test_filename,
+        }[split]
+        with open(filename, "rb") as f:
+            records = pickle.load(f)
+
+        if split in ("train", "valid"):
+            kept = []
+            for rec in records:
+                if rec.get("sg_res_by_step") is None:
+                    rec["sg_res_by_step"] = {}
+                spans = rec.get("nmn_program_span_by_word") or {}
+                if (None, None) in spans.values():
+                    continue  # ref dataset.py:52-54
+                kept.append(rec)
+            records = kept
+        if novel_comp is not None:
+            records = [r for r in records if r.get("novel_comp") == novel_comp]
+        if more_steps is not None:
+            records = [r for r in records if r.get("more_steps") == more_steps]
+        if debug and len(records) > 256:
+            records = random.Random(seed).sample(records, 256)
+        self.records = records
+
+        with open(paths.video_secs_path) as f:
+            self.video_secs = json.load(f)
+        self.embeddings = WordEmbeddings(paths.glove_filename)
+
+        answers = [r["answer"] for r in records]
+        self.answer_vocab = build_or_load_answer_vocab(
+            paths.vocab_filename, answers
+        )
+
+        str2num = None
+        if paths.str2num_path and os.path.exists(paths.str2num_path):
+            with open(paths.str2num_path) as f:
+                str2num = json.load(f)
+        used = {r["video_id"] for r in records}
+        self.video_feats = load_video_features(
+            paths.rgb_path, paths.flow_path, used, max_video_length, str2num
+        )
+        self.video_size = next(iter(self.video_feats.values())).shape[-1]
+
+        # Object-type vocabulary for pretrain heads / FilterFrame supervision.
+        self.word2id, self.id2index = {}, {}
+        if paths.word2id_filename:
+            with open(paths.word2id_filename) as f:
+                word2id = json.load(f)
+            ids = sorted(set(word2id.values()))
+            self.id2index = {id_: i for i, id_ in enumerate(ids)}
+            self.word2id = {
+                w.replace("_", " "): self.id2index[id_]
+                for w, id_ in word2id.items()
+            }
+
+        # Lower all programs once (host-side compilation of the corpus).
+        self.traces: list[Trace | None] = []
+        self.drop_reasons: dict[str, int] = {}
+        for rec in records:
+            try:
+                tr = lower_program(
+                    rec["nmn_program"],
+                    rec.get("nmn_program_idx"),
+                    rec.get("nmn_program_span_by_word") or {},
+                )
+            except Exception as err:  # unloadable program: keep but mark
+                self.drop_reasons[type(err).__name__] = (
+                    self.drop_reasons.get(type(err).__name__, 0) + 1
+                )
+                tr = None
+            self.traces.append(tr)
+
+    def __len__(self):
+        return len(self.records)
+
+    @property
+    def answer_vocab_length(self):
+        return len(self.answer_vocab["word2id"])
+
+    def trace_geometry(self):
+        """(max_steps, num_vec, num_frames, num_attn) over the corpus."""
+        steps = vec = fr = at = 1
+        for tr in self.traces:
+            if tr is None:
+                continue
+            steps = max(steps, len(tr.instrs))
+            vec = max(vec, tr.num_vec)
+            fr = max(fr, tr.num_frames)
+            at = max(at, tr.num_attn)
+        return steps, vec, fr, at
+
+    def question_embedding(self, rec) -> np.ndarray:
+        return self.embeddings.embed_sentence(rec["question"])
+
+    def video_feature(self, rec) -> np.ndarray:
+        return self.video_feats[rec["video_id"]]
+
+    def answer_id(self, rec) -> int:
+        w2i = self.answer_vocab["word2id"]
+        return w2i.get(rec["answer"], w2i.get("<UNK>"))
+
+
+# ---------------------------------------------------------------------------
+# Supervision packing
+# ---------------------------------------------------------------------------
+
+def span_to_attention(gold: tuple, num_frames: int) -> np.ndarray:
+    """Fractional frame interval -> per-frame weight vector.
+    Exact port of the reference semantics (train_module.py:67-81)."""
+    out = np.zeros((num_frames,), dtype=np.float32)
+    start = min(num_frames - 0.002, max(0.001, gold[0]))
+    end = min(num_frames - 0.001, gold[1])
+    s_int, e_int = math.ceil(start), math.floor(end)
+    if s_int < e_int:
+        out[s_int:e_int] += 1.0
+    if s_int <= e_int:
+        out[s_int - 1] += s_int - start
+        out[e_int] += end - e_int
+    else:
+        out[e_int] += end - start
+    return out
+
+
+# Supervision channel codes (routing inside the jitted loss).
+SUP_NONE, SUP_BOOL, SUP_EQUALS, SUP_ATTN1, SUP_ATTN2, SUP_CONTRAST = range(6)
+
+#: module family -> supervision channel for scalar/bool targets
+_FAMILY_CHANNEL = {
+    "Exists": SUP_BOOL, "Xor": SUP_BOOL, "Equals": SUP_EQUALS,
+    "ExistsFrame": SUP_ATTN1, "Temporal": SUP_ATTN1, "Localize": SUP_ATTN2,
+    "Filter": SUP_CONTRAST, "ToAction": SUP_CONTRAST,
+    "Superlative": SUP_CONTRAST,
+}
+
+
+@dataclass
+class Batch:
+    """All device-ready arrays for one batch."""
+
+    question: np.ndarray          # [B, L, text]
+    question_mask: np.ndarray     # [B, L] float32
+    video: np.ndarray             # [B, F, video]
+    video_mask: np.ndarray        # [B, F] float32
+    answer: np.ndarray            # [B] int32
+    trace: dict                   # field name -> [B, T] int32
+    root_reg: np.ndarray          # [B]
+    root_is_vec: np.ndarray       # [B]
+    # --- supervision ---
+    sup_channel: np.ndarray       # [B, T] int32 (SUP_*)
+    sup_bool: np.ndarray          # [B, T] float32 (bool/equals target)
+    sup_attn: np.ndarray          # [B, T, 2, F] float32 gold attentions
+    sup_attn_rows: np.ndarray     # [B, T] int32 valid gold rows
+    # contrastive: gold class table for the whole batch
+    class_emb: np.ndarray         # [C, Lc, text] gold class token embeddings
+    class_emb_mask: np.ndarray    # [C, Lc]
+    class_valid: np.ndarray       # [C] float32
+    sup_class: np.ndarray         # [B, T, Pmax] int32 class ids (-1 pad)
+    qa_ids: list = None
+    meta: dict = None
+
+
+class Batcher:
+    """Packs dataset examples into fixed-shape batches."""
+
+    def __init__(
+        self,
+        dataset: AGQADataset,
+        batch_size: int,
+        max_steps: int,
+        num_vec: int,
+        num_frames: int,
+        num_attn: int,
+        max_question_len: int = 32,
+        max_positives: int = 4,
+        max_classes: int = 64,
+        max_class_len: int = 8,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.geom = (max_steps, num_vec, num_frames, num_attn)
+        self.max_question_len = max_question_len
+        self.max_positives = max_positives
+        self.max_classes = max_classes
+        self.max_class_len = max_class_len
+        self.rng = random.Random(seed)
+        self.drop_remainder = drop_remainder
+        self.indices = [
+            i for i, tr in enumerate(dataset.traces) if tr is not None
+        ]
+
+    def epoch(self, shuffle: bool = True):
+        order = list(self.indices)
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_remainder:
+                    continue
+                # pad by repeating (marked via meta['real'])
+                chunk = chunk + chunk[: self.batch_size - len(chunk)]
+            yield self.pack(chunk)
+
+    def pack(self, indices: list[int]) -> Batch:
+        ds = self.ds
+        B = len(indices)
+        T, NV, NF, NA = self.geom
+        L = self.max_question_len
+        F = ds.max_video_length
+        text_dim = ds.embeddings.dim
+
+        question = np.zeros((B, L, text_dim), dtype=np.float32)
+        question_mask = np.zeros((B, L), dtype=np.float32)
+        video_dim = ds.video_size
+        video = np.zeros((B, F, video_dim), dtype=np.float32)
+        video_mask = np.zeros((B, F), dtype=np.float32)
+        answer = np.zeros((B,), dtype=np.int32)
+
+        traces = []
+        recs = []
+        for b, idx in enumerate(indices):
+            rec = ds.records[idx]
+            recs.append(rec)
+            traces.append(ds.traces[idx])
+            q = ds.question_embedding(rec)[:L]
+            question[b, : len(q)] = q
+            question_mask[b, : len(q)] = 1.0
+            v = ds.video_feature(rec)[:F]
+            video[b, : len(v)] = v
+            video_mask[b, : len(v)] = 1.0
+            answer[b] = ds.answer_id(rec)
+
+        tb = pad_traces(traces, T, NV, NF, NA)
+        batch = Batch(
+            question=question,
+            question_mask=question_mask,
+            video=video,
+            video_mask=video_mask,
+            answer=answer,
+            trace=tb.fields,
+            root_reg=tb.root_reg,
+            root_is_vec=tb.root_is_vec,
+            sup_channel=np.zeros((B, T), dtype=np.int32),
+            sup_bool=np.zeros((B, T), dtype=np.float32),
+            sup_attn=np.zeros((B, T, 2, F), dtype=np.float32),
+            sup_attn_rows=np.zeros((B, T), dtype=np.int32),
+            class_emb=np.zeros(
+                (self.max_classes, self.max_class_len, text_dim),
+                dtype=np.float32,
+            ),
+            class_emb_mask=np.zeros(
+                (self.max_classes, self.max_class_len), dtype=np.float32
+            ),
+            class_valid=np.zeros((self.max_classes,), dtype=np.float32),
+            sup_class=-np.ones((B, T, self.max_positives), dtype=np.int32),
+            qa_ids=[r.get("qa_id") for r in recs],
+            meta={},
+        )
+        self._pack_supervision(batch, recs, traces)
+        return batch
+
+    # -- supervision ---------------------------------------------------------
+
+    def _pack_supervision(self, batch: Batch, recs, traces):
+        """Join symbolic step results onto instructions and rasterize golds.
+
+        Gold intervals are emitted by the symbolic executor at 3 fps over the
+        annotation clock; they are rescaled to feature frames exactly as the
+        reference does (dataset.py:199-211: src length = video_secs * 3).
+        """
+        ds = self.ds
+        F = ds.max_video_length
+        class_ids: dict[str, int] = {}
+
+        def intern_class(name: str) -> int:
+            if name not in class_ids:
+                cid = len(class_ids)
+                if cid >= self.max_classes:
+                    return -1
+                class_ids[name] = cid
+                emb = ds.embeddings.embed_sentence(name)[: self.max_class_len]
+                batch.class_emb[cid, : len(emb)] = emb
+                batch.class_emb_mask[cid, : len(emb)] = 1.0
+                batch.class_valid[cid] = 1.0
+            return class_ids[name]
+
+        for b, (rec, tr) in enumerate(zip(recs, traces)):
+            sg = rec.get("sg_res_by_step") or {}
+            if not sg:
+                continue
+            video_len = int(batch.video_mask[b].sum())
+            src_len = ds.video_secs.get(rec["video_id"], 0) * 3
+
+            def rescale(iv):
+                if src_len <= 0 or video_len <= 0:
+                    return iv
+                return (
+                    iv[0] / src_len * video_len,
+                    iv[1] / src_len * video_len,
+                )
+
+            for t, ins in enumerate(tr.instrs):
+                if not ins.supervised or ins.src not in sg:
+                    continue
+                gold = sg[ins.src]
+                if gold is None:
+                    continue
+                family = OP_FAMILY.get(Opcode(ins.opcode))
+                channel = _FAMILY_CHANNEL.get(family, SUP_NONE)
+                if channel == SUP_BOOL or channel == SUP_EQUALS:
+                    if not isinstance(gold, bool):
+                        continue
+                    batch.sup_channel[b, t] = channel
+                    batch.sup_bool[b, t] = float(gold)
+                elif channel == SUP_ATTN1:
+                    if (
+                        isinstance(gold, (tuple, list))
+                        and len(gold) == 2
+                        and isinstance(gold[0], float)
+                    ):
+                        batch.sup_channel[b, t] = channel
+                        batch.sup_attn[b, t, 0] = span_to_attention(
+                            rescale(gold), F
+                        )
+                        batch.sup_attn_rows[b, t] = 1
+                elif channel == SUP_ATTN2:
+                    if isinstance(gold, list) and gold and isinstance(
+                        gold[0], tuple
+                    ):
+                        rows = min(len(gold), 2)
+                        batch.sup_channel[b, t] = channel
+                        for r in range(rows):
+                            batch.sup_attn[b, t, r] = span_to_attention(
+                                rescale(gold[r]), F
+                            )
+                        batch.sup_attn_rows[b, t] = rows
+                elif channel == SUP_CONTRAST:
+                    names = (
+                        [gold] if isinstance(gold, str) else
+                        [g for g in gold if isinstance(g, str)]
+                        if isinstance(gold, list) else []
+                    )
+                    if not names:
+                        continue
+                    cids = [intern_class(n) for n in names[: self.max_positives]]
+                    cids = [c for c in cids if c >= 0]
+                    if not cids:
+                        continue
+                    batch.sup_channel[b, t] = channel
+                    for p, cid in enumerate(cids):
+                        batch.sup_class[b, t, p] = cid

@@ -1,0 +1,340 @@
+"""VideoNMN: the batched, compiled neural-module-network executor.
+
+The reference model (yellow-binary-tree/STAIR ``video_nmn/module_net.py``)
+interprets each program with a Python stack, one eager module call at a time,
+batch size 1. Here the whole interpreter is a single ``lax.scan`` over the
+padded instruction traces produced by :mod:`stair_tpu.ir.lowering`:
+
+  * three typed register files ride the scan carry
+    (vec [Nv+1, H], frames [Nf+1, F, H], attn [Na+1, F]);
+  * every step gathers its operands by register index, computes the module
+    outputs, and scatters them to its destination registers (padding steps
+    write to scratch slots);
+  * opcode dispatch is select-based: under ``vmap`` all module candidates are
+    computed and the right one chosen per example — tiny matmuls become one
+    batched MXU matmul per module family, which is the idiomatic TPU trade
+    (dense compute beats host round-trips by orders of magnitude);
+  * registers are SSA, so the final register files contain every module's
+    output — the auditable intermediates that are STAIR's headline feature —
+    with no per-step Python and no extra buffers.
+
+``VideoNMN.forward`` therefore runs an entire batch of heterogeneous
+questions (different programs, lengths, videos) as one XLA program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from stair_tpu.ir.lowering import Opcode
+from stair_tpu.models import modules as M
+from stair_tpu.ops.lstm import bilstm, init_lstm_params
+
+
+@dataclass(frozen=True)
+class NMNConfig:
+    hidden_size: int = 512
+    video_size: int = 2048
+    text_size: int = 300
+    dropout: float = 0.25
+    answer_vocab_length: int = 172
+    max_video_length: int = 150
+    object_types: int = 1
+    have_pretrain_head: bool = True
+    #: 'parity' reproduces the reference Filter pooling quirk; 'softmax' fixes it.
+    filter_attention: str = "parity"
+    # Trace geometry (register-file sizes + instruction count cap).
+    max_steps: int = 32
+    num_vec: int = 24
+    num_frames: int = 8
+    num_attn: int = 10
+
+    @property
+    def conv_temporal(self) -> bool:
+        return self.max_video_length > 32
+
+    def to_dict(self):
+        return dict(self.__dict__)
+
+
+class VideoNMN:
+    """Functional model: ``init`` makes params, ``forward`` runs a batch."""
+
+    def __init__(self, config: NMNConfig):
+        self.config = config
+
+    # -- parameters ----------------------------------------------------------
+
+    def init(self, rng) -> dict:
+        cfg = self.config
+        k_mod, k_venc, k_tenc, k_dec1, k_dec2 = jax.random.split(rng, 5)
+        H = cfg.hidden_size
+        params = {
+            "modules": M.init_module_params(
+                k_mod,
+                {
+                    "hidden_size": H,
+                    "max_video_length": cfg.max_video_length,
+                    "dropout": cfg.dropout,
+                    "object_types": cfg.object_types,
+                    "have_pretrain_head": cfg.have_pretrain_head,
+                },
+            ),
+            "video_encoder": init_lstm_params(k_venc, cfg.video_size, H // 2),
+            "text_encoder": init_lstm_params(k_tenc, cfg.text_size, H // 2),
+            "decoder": {
+                "l1": M._init_linear(k_dec1, 2 * H, 2 * H),
+                "l2": M._init_linear(k_dec2, 2 * H, cfg.answer_vocab_length),
+            },
+        }
+        return params
+
+    # -- encoders ------------------------------------------------------------
+
+    def encode_video(self, params, video, video_mask):
+        """[B, F, video_size] -> [B, F, H] (ref module_net.py:160-163)."""
+        return jax.vmap(lambda x, m: bilstm(params["video_encoder"], x, m)[0])(
+            video, video_mask
+        )
+
+    def encode_question(self, params, question, question_mask):
+        """[B, L, text_size] -> tokens [B, L, H], sentence [B, H]
+        (ref module_net.py:151-158)."""
+        return jax.vmap(lambda x, m: bilstm(params["text_encoder"], x, m))(
+            question, question_mask
+        )
+
+    def encode_sentences(self, params, embeddings, mask):
+        """Batch-encode standalone phrases (gold classes, filter vocab)."""
+        _, sent = jax.vmap(lambda x, m: bilstm(params["text_encoder"], x, m))(
+            embeddings, mask
+        )
+        return sent
+
+    # -- the executor --------------------------------------------------------
+
+    def run_trace(
+        self,
+        params,
+        trace_fields: dict,
+        video_frames,     # [B, F, H] encoded video
+        video_mask,       # [B, F]
+        token_features,   # [B, L, H]
+        token_mask,       # [B, L]
+        rng=None,
+        deterministic: bool = True,
+    ):
+        """Execute all programs; returns the final register files."""
+        cfg = self.config
+        B, F, H = video_frames.shape
+        mods = params["modules"]
+        rate = cfg.dropout
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+            deterministic = True
+        example_rngs = jax.random.split(rng, B)
+
+        # Initial register files: frames register 0 <- encoded video.
+        rv0 = jnp.zeros((B, cfg.num_vec + 1, H))
+        rf0 = jnp.zeros((B, cfg.num_frames + 1, F, H))
+        rf0 = rf0.at[:, 0].set(video_frames * video_mask[:, :, None])
+        ra0 = jnp.zeros((B, cfg.num_attn + 1, F))
+
+        def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx):
+            """One instruction on one example."""
+            rv, rf, ra = regs
+            op = instr["opcode"]
+            srng = jax.random.fold_in(ex_rng, step_idx)
+            rngs = jax.random.split(srng, 10)
+
+            va, vb, vc = rv[instr["va"]], rv[instr["vb"]], rv[instr["vc"]]
+            fa, fb = rf[instr["fa"]], rf[instr["fb"]]
+            aa, ab = ra[instr["aa"]], ra[instr["ab"]]
+            mode = instr["mode"]
+            count = instr["count"]
+
+            # --- vec candidates -------------------------------------------
+            s, e = instr["span_start"], instr["span_end"]
+            L = tokens.shape[0]
+            pos = jnp.arange(L)
+            valid = tmask > 0
+            span_w = jnp.where(
+                s < 0, valid, (pos >= s) & (pos < e) & valid
+            ).astype(tokens.dtype)
+            push_text = (span_w @ tokens) / jnp.maximum(jnp.sum(span_w), 1.0)
+
+            pair = jnp.stack([va, vb])                     # [2, H]
+            pair_mask = jnp.arange(2) < count
+
+            sup_actions_v = M.superlative_module(
+                mods["superlative"], mods["localize"], mode == 1, pair, fa,
+                vmask, rate, rngs[0], deterministic, action_mask=pair_mask,
+            )
+            sup_actions_f = M.superlative_module(
+                mods["superlative"], mods["localize"], mode == 1, fb, fa,
+                vmask, rate, rngs[1], deterministic, action_mask=vmask > 0,
+            )
+
+            vec_cands = [
+                (Opcode.PUSH_TEXT, push_text),
+                (Opcode.AND_VEC, M.and_module(va, vb)),
+                (Opcode.COMPARE, M.compare_module(mods["compare"], va, vb)),
+                (Opcode.EQUALS, M.equals_module(mods["equals"], va, vb)),
+                (Opcode.CHOOSE, M.choose_module(va, vb, vc)),
+                (Opcode.XOR, M.xor_module(mods["xor"], va, vb)),
+                (Opcode.QUERY, M.query_module(
+                    mods["query"], va, rate, rngs[2], deterministic)),
+                (Opcode.TOACTION, M.toaction_module(
+                    mods["toaction"], va, vb, rate, rngs[3], deterministic)),
+                (Opcode.EXISTS, M.exists_module(
+                    mods["exists"], va, vb, rate, rngs[4], deterministic)),
+                (Opcode.FILTER_V, M.filter_module_vec(
+                    mods["filter"], fa, va, vmask, rate, rngs[5],
+                    deterministic, attention=cfg.filter_attention)),
+                (Opcode.FILTER_K, M.filter_module_kw(
+                    mods["filter"], fa, mode, vmask, rate, rngs[5],
+                    deterministic)),
+                (Opcode.SUPERLATIVE_V, sup_actions_v),
+                (Opcode.SUPERLATIVE_F, sup_actions_f),
+            ]
+            new_vec = _select(op, vec_cands, jnp.zeros((H,)))
+
+            # --- frames candidates ----------------------------------------
+            attn_mean = jnp.where(count == 2, (aa + ab) / 2.0, aa)
+            temporal_out, temporal_rel = M.temporal_module(
+                mods["temporal"], mode, fa, attn_mean, vmask,
+                cfg.conv_temporal, rate, rngs[6], deterministic,
+            )
+            frames_cands = [
+                (Opcode.TEMPORAL, temporal_out),
+                (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
+                (Opcode.FILTERFRAME_V, M.filterframe_module_vec(
+                    mods["filterframe"], fa, va, vmask, rate, rngs[7],
+                    deterministic)),
+                (Opcode.FILTERFRAME_K, M.filterframe_module_kw(
+                    mods["filterframe"], fa, mode, vmask, rate, rngs[7],
+                    deterministic)),
+            ]
+            new_frames = _select(op, frames_cands, jnp.zeros((F, H)))
+
+            # --- attn candidates ------------------------------------------
+            loc_scores = M.localize_scores(
+                mods["localize"], fa, pair, vmask, rate, rngs[8],
+                deterministic,
+            )                                               # [2, F]
+            attn_cands = [
+                (Opcode.AND_ATTN, M.and_module(aa, ab)),
+                (Opcode.XORFRAME, M.xorframe_module(aa, ab)),
+                (Opcode.HASITEM, M.hasitem_module(
+                    mods["hasitem"], fa, vmask, rate, rngs[9], deterministic)),
+                (Opcode.EXISTSFRAME, M.existsframe_module(va, fa, vmask)),
+                (Opcode.LOCALIZE, loc_scores[0]),
+                (Opcode.RELATE, M.relate_module(
+                    mods["relate"], mode == 1, aa, vmask)),
+            ]
+            new_attn = _select(op, attn_cands, jnp.zeros((F,)))
+            attn_b_cands = [
+                (Opcode.LOCALIZE, loc_scores[1]),
+                (Opcode.TEMPORAL, temporal_rel),
+            ]
+            new_attn_b = _select(op, attn_b_cands, jnp.zeros((F,)))
+
+            rv = rv.at[instr["out_vec"]].set(new_vec)
+            rf = rf.at[instr["out_frames"]].set(new_frames)
+            ra = ra.at[instr["out_attn"]].set(new_attn)
+            ra = ra.at[instr["out_attn_b"]].set(new_attn_b)
+            return rv, rf, ra
+
+        batched_step = jax.vmap(
+            step_one,
+            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None),
+        )
+
+        def scan_body(regs, scanned):
+            instr_t, t = scanned
+            new_regs = batched_step(
+                regs, instr_t, video_mask, token_features, token_mask,
+                example_rngs, t,
+            )
+            return new_regs, None
+
+        T = trace_fields["opcode"].shape[1]
+        scanned_fields = jax.tree_util.tree_map(
+            lambda a: jnp.moveaxis(a, 1, 0), trace_fields
+        )  # [T, B]
+        (rv, rf, ra), _ = jax.lax.scan(
+            scan_body, (rv0, rf0, ra0), (scanned_fields, jnp.arange(T))
+        )
+        return rv, rf, ra
+
+    # -- full forward --------------------------------------------------------
+
+    def forward(self, params, batch, rng=None, deterministic=True):
+        """Run encoders + executor + answer decoder on a padded batch.
+
+        ``batch`` keys: question [B, L, text_size], question_mask [B, L],
+        video [B, F, video_size], video_mask [B, F], trace fields dict
+        (each [B, T] int32), root_reg [B], root_is_vec [B].
+        Returns logits plus the final register files for audit/supervision.
+        """
+        cfg = self.config
+        if rng is None:
+            r_exec = r_dec = jax.random.PRNGKey(0)
+            deterministic = True
+        else:
+            r_exec, r_dec = jax.random.split(rng)
+
+        video_frames = self.encode_video(
+            params, batch["video"], batch["video_mask"]
+        )
+        token_features, question_feature = self.encode_question(
+            params, batch["question"], batch["question_mask"]
+        )
+        rv, rf, ra = self.run_trace(
+            params,
+            batch["trace"],
+            video_frames,
+            batch["video_mask"],
+            token_features,
+            batch["question_mask"],
+            rng=r_exec,
+            deterministic=deterministic,
+        )
+
+        B = rv.shape[0]
+        root_vec = rv[jnp.arange(B), batch["root_reg"]]
+        # Non-vec roots (not produced by valid AGQA programs): masked mean of
+        # the root frames register, so the graph stays total.
+        root_frames = rf[jnp.arange(B), jnp.minimum(batch["root_reg"], cfg.num_frames)]
+        fallback = jnp.sum(
+            root_frames * batch["video_mask"][:, :, None], axis=1
+        ) / jnp.maximum(
+            jnp.sum(batch["video_mask"], axis=1, keepdims=True), 1.0
+        )
+        root = jnp.where(batch["root_is_vec"][:, None], root_vec, fallback)
+
+        hidden = jnp.concatenate([root, question_feature], axis=-1)
+        h = jax.nn.relu(M.linear(params["decoder"]["l1"], hidden))
+        h = M.dropout(h, cfg.dropout, r_dec, deterministic)
+        logits = M.linear(params["decoder"]["l2"], h)
+
+        return {
+            "logits": logits,
+            "question_feature": question_feature,
+            "token_features": token_features,
+            "regs_vec": rv,
+            "regs_frames": rf,
+            "regs_attn": ra,
+            "root": root,
+        }
+
+
+def _select(op, candidates, default):
+    """Pick the candidate whose opcode matches ``op`` (predicated select)."""
+    out = default
+    for code, value in candidates:
+        out = jnp.where(op == int(code), value, out)
+    return out

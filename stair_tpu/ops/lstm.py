@@ -1,0 +1,85 @@
+"""Masked bidirectional LSTM via ``lax.scan``.
+
+The reference encodes questions and videos with cuDNN BiLSTMs
+(yellow-binary-tree/STAIR ``video_nmn/module_net.py:39-47``). On TPU the
+input projection is hoisted out of the recurrence as one big MXU matmul
+([L, D] @ [D, 4h]) and only the [h, 4h] recurrent matmul rides the scan.
+Sequences are padded; masked steps carry state through unchanged, which makes
+the final forward carry equal the state at the true last token and (running
+the reverse direction over the reversed sequence) the final backward carry
+equal the state at token 0 — exactly torch's ``h_n`` semantics for packed
+sequences.
+
+Gate layout follows torch: [input, forget, cell, output] chunks of size h.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_lstm_params(rng, input_size: int, hidden_size: int) -> dict:
+    """One bidirectional layer. torch-style U(-1/sqrt(h), 1/sqrt(h)) init.
+
+    Weights are stored transposed from torch: wi [D, 4h], wh [h, 4h]; torch's
+    two bias vectors (b_ih, b_hh) are kept separate for exact parity.
+    """
+    bound = 1.0 / np.sqrt(hidden_size)
+    keys = jax.random.split(rng, 8)
+
+    def u(key, shape):
+        return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+    def direction(ks):
+        return {
+            "wi": u(ks[0], (input_size, 4 * hidden_size)),
+            "wh": u(ks[1], (hidden_size, 4 * hidden_size)),
+            "bi": u(ks[2], (4 * hidden_size,)),
+            "bh": u(ks[3], (4 * hidden_size,)),
+        }
+
+    return {"fwd": direction(keys[:4]), "bwd": direction(keys[4:])}
+
+
+def _direction_scan(p, x, mask):
+    """One direction over [L, D] with mask [L]; returns (h_seq [L, h], h_last)."""
+    h_dim = p["wh"].shape[0]
+    x_proj = x @ p["wi"] + p["bi"] + p["bh"]          # [L, 4h], hoisted
+
+    def step(carry, inp):
+        h, c = carry
+        gates_x, valid = inp
+        gates = gates_x + h @ p["wh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        return (h, c), h
+
+    init = (jnp.zeros((h_dim,)), jnp.zeros((h_dim,)))
+    (h_last, _), h_seq = jax.lax.scan(step, init, (x_proj, mask[:, None]))
+    return h_seq, h_last
+
+
+def bilstm(params, x, mask):
+    """Run the BiLSTM on one sequence.
+
+    Args:
+      x: [L, D] padded sequence; mask: [L] validity.
+    Returns:
+      token_features [L, 2h] (zeroed on padding) and the sentence feature
+      [2h] = concat(final forward state, final backward state).
+    """
+    fwd_seq, fwd_last = _direction_scan(params["fwd"], x, mask)
+    bwd_seq_rev, bwd_last = _direction_scan(
+        params["bwd"], x[::-1], mask[::-1]
+    )
+    bwd_seq = bwd_seq_rev[::-1]
+    tokens = jnp.concatenate([fwd_seq, bwd_seq], axis=-1) * mask[:, None]
+    sentence = jnp.concatenate([fwd_last, bwd_last], axis=-1)
+    return tokens, sentence

@@ -172,13 +172,13 @@ def _sample_question(rng: random.Random, graph, id2word):
         )
     if template == 5:
         rel = rng.choice(relations) if relations else "touching"
-        obj = rng.choice(objects)
+        rel_text = rel.replace("_", " ")
         return (
-            "what were they %s in the first frame with a %s ?"
-            % (rel.replace("_", " "), obj),
+            "what were they %s in the first frame where %s happened ?"
+            % (rel_text, rel_text),
             "Query(class, OnlyItem(IterateUntil(forward, video, "
-            "Exists(%s, Filter(frame, [objects])), "
-            "Filter(frame, [relations, %s, objects]))))" % (obj, rel),
+            "Exists(%s, Filter(frame, [relations])), "
+            "Filter(frame, [relations, %s, objects]))))" % (rel_text, rel_text),
         )
     # template == 6: Compare before/after
     return (

@@ -17,7 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest
 
+# The axon TPU plugin ignores JAX_PLATFORMS, so pin the default device to the
+# virtual CPU fleet explicitly (tests must not depend on the tunneled chip).
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
+
 REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
 
 
 def have_reference() -> bool:
