@@ -411,14 +411,16 @@ class Batcher:
             self.rng.shuffle(order)
         for i in range(0, len(order), self.batch_size):
             chunk = order[i:i + self.batch_size]
-            if len(chunk) < self.batch_size:
+            real = len(chunk)
+            if real < self.batch_size:
                 if self.drop_remainder:
                     continue
-                # pad by repeating (marked via meta['real'])
-                chunk = chunk + chunk[: self.batch_size - len(chunk)]
-            yield self.pack(chunk)
+                # pad to a fixed shape by cycling (meta['real'] marks truth)
+                while len(chunk) < self.batch_size:
+                    chunk = chunk + chunk[: self.batch_size - len(chunk)]
+            yield self.pack(chunk, real=real)
 
-    def pack(self, indices: list[int]) -> Batch:
+    def pack(self, indices: list[int], real: int | None = None) -> Batch:
         ds = self.ds
         B = len(indices)
         T, NV, NF, NA = self.geom
@@ -471,7 +473,7 @@ class Batcher:
             class_valid=np.zeros((self.max_classes,), dtype=np.float32),
             sup_class=-np.ones((B, T, self.max_positives), dtype=np.int32),
             qa_ids=[r.get("qa_id") for r in recs],
-            meta={},
+            meta={"real": real if real is not None else B, "indices": indices},
         )
         self._pack_supervision(batch, recs, traces)
         return batch

@@ -1,0 +1,167 @@
+"""Evaluation CLI: test accuracy and Filter-output audit extraction.
+
+Mirrors the reference entry point (yellow-binary-tree/STAIR ``evaluate.py``):
+
+  * ``--evaluate-func acc`` — batched test accuracy (gold ``<UNK>`` counts
+    as wrong) + predictions JSON {preds, golds, qa_ids};
+  * ``--evaluate-func filter_text_result`` — for every Filter step of every
+    question, the top-10 retrieval vocabulary strings by cosine similarity
+    between the module's (auditable) output and the text-encoded vocab,
+    tagged with the module's tree level and its keyword argument
+    (ref evaluate.py:65-117). Output pickle:
+    ``{qa_id: {source_idx: (level, keyword, top10)}}``.
+
+Where the reference runs one question at a time through Python, both
+functions here consume whole batches from the compiled executor; the Filter
+outputs are simply rows of the final vec register file.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stair_tpu.data.dataset import AGQADataset
+from stair_tpu.ir.lowering import Opcode
+from stair_tpu.models.modules import l2_normalize
+from stair_tpu.models.nmn import NMNConfig, VideoNMN
+from stair_tpu.programs.parser import children_and_parents, module_levels
+from stair_tpu.train import checkpoint as ckpt
+from stair_tpu.train.args import get_args
+from stair_tpu.train.loop import (
+    batch_to_device_dict,
+    data_paths,
+    make_batcher,
+)
+
+
+def load_model(args, ds):
+    cfg_dict = ckpt.load_config(args.model_ckpt)
+    # Trace geometry does not affect parameter shapes, so widen it to cover
+    # the evaluation corpus (test programs may be deeper than train ones).
+    s, v, f, a = ds.trace_geometry()
+    cfg_dict["max_steps"] = max(cfg_dict["max_steps"], s)
+    cfg_dict["num_vec"] = max(cfg_dict["num_vec"], v)
+    cfg_dict["num_frames"] = max(cfg_dict["num_frames"], f)
+    cfg_dict["num_attn"] = max(cfg_dict["num_attn"], a)
+    cfg = NMNConfig(**cfg_dict)
+    model = VideoNMN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = ckpt.load_params(args.model_ckpt, params)
+    return model, params
+
+
+def evaluate_acc(args, model, params, ds):
+    unk = ds.answer_vocab["word2id"]["<UNK>"]
+    id2w = ds.answer_vocab["id2word"]
+    batcher = make_batcher(args, ds, model)
+
+    @jax.jit
+    def step(params, batch):
+        out = model.forward(params, batch, deterministic=True)
+        return jnp.argmax(out["logits"], axis=-1)
+
+    correct = total = 0
+    preds_golds = {"preds": [], "golds": [], "qa_ids": []}
+    for i, batch in enumerate(batcher.epoch(shuffle=False)):
+        if i % 50 == 0:
+            print(datetime.datetime.now().strftime("%H:%M:%S"),
+                  f"batch {i}, {total} examples")
+        preds = np.asarray(step(params, batch_to_device_dict(batch)))
+        real = batch.meta["real"]
+        golds = batch.answer[:real]
+        correct += int(np.sum((preds[:real] == golds) & (golds != unk)))
+        total += real
+        preds_golds["preds"].extend(id2w[int(p)] for p in preds[:real])
+        preds_golds["golds"].extend(id2w[int(g)] for g in golds)
+        preds_golds["qa_ids"].extend(batch.qa_ids[:real])
+    acc = correct / max(total, 1)
+    if args.result_filename:
+        out = os.path.join(args.output or ".", args.result_filename)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(preds_golds, f)
+    print(f"test acc: {acc:.4f} over {total} examples")
+    return acc
+
+
+def filter_text_results(args, model, params, ds):
+    """Audit extraction: Filter-module retrievals against the answer vocab."""
+    with open(args.filter_answer_vocab_filename) as f:
+        filter_vocab = json.load(f)
+
+    # Encode + L2-normalize the retrieval vocabulary with the text encoder.
+    max_len = max(1, max(
+        len(ds.embeddings.embed_sentence(a)) for a in filter_vocab
+    ))
+    emb = np.zeros((len(filter_vocab), max_len, ds.embeddings.dim), np.float32)
+    emb_mask = np.zeros((len(filter_vocab), max_len), np.float32)
+    for i, ans in enumerate(filter_vocab):
+        e = ds.embeddings.embed_sentence(ans)[:max_len]
+        emb[i, : len(e)] = e
+        emb_mask[i, : len(e)] = 1.0
+    vocab_reps = l2_normalize(
+        model.encode_sentences(params, jnp.asarray(emb), jnp.asarray(emb_mask)),
+        axis=-1,
+    )  # [V, H]
+
+    batcher = make_batcher(args, ds, model)
+
+    @jax.jit
+    def step(params, batch):
+        out = model.forward(params, batch, deterministic=True)
+        return out["regs_vec"]
+
+    results = {}
+    for batch in batcher.epoch(shuffle=False):
+        regs_vec = np.asarray(step(params, batch_to_device_dict(batch)))
+        vocab_np = np.asarray(vocab_reps)
+        for b in range(batch.meta["real"]):
+            idx = batch.meta["indices"][b]
+            rec, tr = ds.records[idx], ds.traces[idx]
+            program = rec["nmn_program"]
+            levels = module_levels(program)
+            kids, _ = children_and_parents(program)
+            per_step = {}
+            for ins in tr.instrs:
+                if ins.opcode not in (Opcode.FILTER_V, Opcode.FILTER_K):
+                    continue
+                pred = regs_vec[b, ins.out_vec]
+                norm = np.linalg.norm(pred) * np.linalg.norm(vocab_np, axis=1)
+                sims = (vocab_np @ pred) / np.maximum(norm, 1e-8)
+                top10 = [filter_vocab[i] for i in np.argsort(-sims)[:10]]
+                pos = ins.token_pos
+                keyword = program[kids[pos][1]].replace("_", " ")
+                src = ins.src if ins.src >= 0 else pos
+                per_step[src] = (levels[pos], keyword, top10)
+            results[rec.get("qa_id", idx)] = per_step
+    os.makedirs(os.path.dirname(args.result_filename) or ".", exist_ok=True)
+    with open(args.result_filename, "wb") as f:
+        pickle.dump(results, f)
+    print(f"wrote filter results for {len(results)} questions")
+    return results
+
+
+def main(args=None):
+    if args is None:
+        args = get_args()
+    print("EVALUATE:", datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+    ds = AGQADataset(
+        data_paths(args), "test", max_video_length=args.max_video_length
+    )
+    model, params = load_model(args, ds)
+    if args.evaluate_func == "acc":
+        return evaluate_acc(args, model, params, ds)
+    elif args.evaluate_func == "filter_text_result":
+        return filter_text_results(args, model, params, ds)
+    raise ValueError(f"unknown evaluate func {args.evaluate_func}")
+
+
+if __name__ == "__main__":
+    main()

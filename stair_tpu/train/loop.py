@@ -1,0 +1,386 @@
+"""NMN training loop: real batching, jitted steps, mesh sharding, resume.
+
+The TPU-native replacement for the reference trainer
+(yellow-binary-tree/STAIR ``train_module.py:273-439``): the reference's
+batch-size-1 loop with 32-step gradient accumulation becomes one jitted
+update over a real batch sharded across the ``dp`` mesh axis; the
+accumulation-window contrastive loss becomes a true in-batch contrastive
+(see losses.py); curriculum gates (``--train-module-before-iters`` /
+``--train-decoder-after-iters``) and the linear LR decay match the
+reference's semantics with iterations counted in batches.
+
+Metrics stream to ``<output>/metrics.jsonl`` (and TensorBoard when
+available) under the reference's scalar names (``loss/<module>``, ``lr/lr``,
+``valid/<module>``, ``valid/acc``).
+
+Run: ``python -m stair_tpu.train.loop --rgb-path ... --output ...``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stair_tpu.data.dataset import AGQADataset, Batcher, DataPaths
+from stair_tpu.models.nmn import NMNConfig, VideoNMN
+from stair_tpu.parallel.mesh import make_mesh, param_sharding, shard_batch
+from stair_tpu.train import checkpoint as ckpt
+from stair_tpu.train.args import get_args
+from stair_tpu.train.losses import (
+    FAMILIES,
+    eval_contrastive_similarity,
+    supervision_losses,
+    total_loss,
+)
+
+
+def data_paths(args) -> DataPaths:
+    return DataPaths(
+        rgb_path=args.rgb_path,
+        flow_path=args.flow_path,
+        glove_filename=args.glove_filename,
+        vocab_filename=args.vocab_filename,
+        video_secs_path=args.video_secs_path,
+        train_filename=args.train_filename,
+        valid_filename=args.valid_filename,
+        test_filename=args.test_filename,
+        str2num_path=args.str2num_path,
+        word2id_filename=args.word2id_filename,
+    )
+
+
+def batch_to_device_dict(batch) -> dict:
+    return {
+        "question": batch.question,
+        "question_mask": batch.question_mask,
+        "video": batch.video,
+        "video_mask": batch.video_mask,
+        "answer": batch.answer,
+        "trace": batch.trace,
+        "root_reg": batch.root_reg,
+        "root_is_vec": batch.root_is_vec,
+        "sup_channel": batch.sup_channel,
+        "sup_bool": batch.sup_bool,
+        "sup_attn": batch.sup_attn,
+        "sup_attn_rows": batch.sup_attn_rows,
+        "class_emb": batch.class_emb,
+        "class_emb_mask": batch.class_emb_mask,
+        "class_valid": batch.class_valid,
+        "sup_class": batch.sup_class,
+    }
+
+
+def build_model(args, datasets) -> tuple[VideoNMN, dict]:
+    steps = vec = fr = at = 1
+    for ds in datasets:
+        s, v, f, a = ds.trace_geometry()
+        steps, vec, fr, at = (
+            max(steps, s), max(vec, v), max(fr, f), max(at, a),
+        )
+    ds0 = datasets[0]
+    cfg = NMNConfig(
+        hidden_size=args.hidden_size,
+        video_size=ds0.video_size,
+        text_size=ds0.embeddings.dim,
+        dropout=args.dropout,
+        answer_vocab_length=ds0.answer_vocab_length,
+        max_video_length=args.max_video_length,
+        object_types=max(1, len(ds0.id2index)),
+        have_pretrain_head=args.module_loss_weight != 0,
+        filter_attention=args.filter_attention,
+        max_steps=steps, num_vec=vec, num_frames=fr, num_attn=at,
+    )
+    return VideoNMN(cfg), cfg.to_dict()
+
+
+def make_batcher(args, ds, model, seed=0):
+    cfg = model.config
+    return Batcher(
+        ds,
+        batch_size=args.batch_size,
+        max_steps=cfg.max_steps,
+        num_vec=cfg.num_vec,
+        num_frames=cfg.num_frames,
+        num_attn=cfg.num_attn,
+        max_question_len=args.max_question_len,
+        seed=seed,
+    )
+
+
+def lr_schedule(args):
+    """Linear start->end factor over total iters, then flat (ref args.py:44-46,
+    train_module.py:328-332)."""
+    start, end = args.scheduler_start_factor, args.scheduler_end_factor
+    total = max(1.0, float(args.scheduler_total_iters))
+
+    def schedule(step):
+        frac = jnp.minimum(step.astype(jnp.float32), total) / total
+        return args.lr * (start + (end - start) * frac)
+
+    return schedule
+
+
+def make_train_step(model, optimizer, args):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, module_gate, decoder_gate):
+        def loss_fn(p):
+            return total_loss(
+                model, p, batch, rng,
+                module_loss_weight=args.module_loss_weight,
+                decoder_loss_weight=args.decoder_loss_weight,
+                module_gate=module_gate,
+                decoder_gate=decoder_gate,
+                deterministic=False,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "decoder_loss": aux["scalars"]["decoder_loss"],
+            "module_loss": aux["scalars"]["module_loss"],
+            "loss_sums": aux["telemetry"]["loss_sums"],
+            "loss_counts": aux["telemetry"]["loss_counts"],
+        }
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.forward(params, batch, deterministic=True)
+        scalars, telemetry = supervision_losses(model, params, out, batch)
+        cos_sum, cos_count = eval_contrastive_similarity(
+            model, params, out, batch
+        )
+        preds = jnp.argmax(out["logits"], axis=-1)
+        return {
+            "preds": preds,
+            "loss_sums": telemetry["loss_sums"],
+            "loss_counts": telemetry["loss_counts"],
+            "cos_sum": cos_sum,
+            "cos_count": cos_count,
+        }
+
+    return eval_step
+
+
+def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
+    """Accuracy (gold <UNK> counts as wrong, ref train_module.py:253) +
+    per-family mean losses; contrastive families report cont-valid cosine."""
+    ds = batcher.ds
+    unk = ds.answer_vocab["word2id"]["<UNK>"]
+    correct = total = 0
+    sums = np.zeros((len(FAMILIES),))
+    counts = np.zeros((len(FAMILIES),))
+    cos_sum = cos_count = 0.0
+    preds_golds = {"preds": [], "golds": [], "qa_ids": []}
+    for batch in batcher.epoch(shuffle=False):
+        bdict = batch_to_device_dict(batch)
+        if mesh is not None:
+            bdict = shard_batch(bdict, mesh)
+        res = jax.device_get(eval_step(params, bdict))
+        real = batch.meta["real"]
+        preds = res["preds"][:real]
+        golds = batch.answer[:real]
+        correct += int(np.sum((preds == golds) & (golds != unk)))
+        total += real
+        sums += res["loss_sums"]
+        counts += res["loss_counts"]
+        cos_sum += float(res["cos_sum"])
+        cos_count += float(res["cos_count"])
+        id2w = ds.answer_vocab["id2word"]
+        preds_golds["preds"].extend(id2w[int(p)] for p in preds)
+        preds_golds["golds"].extend(id2w[int(g)] for g in golds)
+        preds_golds["qa_ids"].extend(batch.qa_ids[:real])
+    family_means = {
+        fam: (sums[i] / counts[i]) if counts[i] else float("inf")
+        for i, fam in enumerate(FAMILIES)
+    }
+    if cos_count:
+        family_means["Filter_cosine"] = cos_sum / cos_count
+    acc = correct / max(total, 1)
+    return acc, family_means, preds_golds
+
+
+class MetricsWriter:
+    """JSONL metrics stream + optional TensorBoard mirror."""
+
+    def __init__(self, out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        self.f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(out_dir, "runs"))
+        except Exception:
+            pass
+
+    def write(self, step: int, scalars: dict):
+        rec = {"step": step, "time": time.time()}
+        rec.update(scalars)
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for key, val in scalars.items():
+                if isinstance(val, (int, float)) and np.isfinite(val):
+                    self.tb.add_scalar(key, val, step)
+
+
+def main(args=None):
+    if args is None:
+        args = get_args()
+    print(args)
+    paths = data_paths(args)
+    train_ds = AGQADataset(
+        paths, "train", max_video_length=args.max_video_length,
+        novel_comp=args.novel_comp, more_steps=args.more_steps,
+        debug=args.debug, seed=args.rand_seed,
+    )
+    valid_ds = train_ds if args.debug else AGQADataset(
+        paths, "valid", max_video_length=args.max_video_length,
+        novel_comp=args.novel_comp, more_steps=args.more_steps,
+    )
+    print(f"train={len(train_ds)} valid={len(valid_ds)} "
+          f"dropped={train_ds.drop_reasons}")
+
+    model, config_dict = build_model(args, [train_ds, valid_ds])
+    print("model config:", config_dict)
+    rng = jax.random.PRNGKey(args.rand_seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(init_rng)
+    if args.model_ckpt:
+        print("loading checkpoint from", args.model_ckpt)
+        params = ckpt.load_params(args.model_ckpt, params)
+
+    mesh = None
+    if args.mesh_dp != 1 or args.mesh_tp != 1:
+        try:
+            mesh = make_mesh(args.mesh_dp, args.mesh_tp)
+            print("mesh:", dict(mesh.shape))
+        except ValueError as err:
+            print("mesh unavailable, running single-device:", err)
+
+    optimizer = optax.adamw(
+        lr_schedule(args), weight_decay=args.weight_decay
+    ) if args.weight_decay else optax.adam(lr_schedule(args))
+    opt_state = optimizer.init(params)
+
+    if mesh is not None:
+        params = jax.device_put(params, param_sharding(params, mesh))
+
+    train_step = make_train_step(model, optimizer, args)
+    eval_step = make_eval_step(model)
+    train_batcher = make_batcher(args, train_ds, model, seed=args.rand_seed)
+    valid_batcher = make_batcher(args, valid_ds, model, seed=0)
+
+    writer = MetricsWriter(args.output)
+    num_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model has {num_params} parameters")
+
+    global_step, best_acc = 0, 0.0
+    state = ckpt.load_trainer_state(os.path.join(args.output, "latest"))
+    if state and args.model_ckpt:
+        global_step, best_acc = state["step"], state["best_acc"]
+        print(f"resuming at step {global_step}")
+
+    t_start = time.time()
+    window = []
+    for epoch in range(args.num_epochs):
+        for batch in train_batcher.epoch(shuffle=True):
+            bdict = batch_to_device_dict(batch)
+            if mesh is not None:
+                bdict = shard_batch(bdict, mesh)
+            rng, step_rng = jax.random.split(rng)
+            module_gate = jnp.float32(
+                global_step < args.train_module_before_iters
+            )
+            decoder_gate = jnp.float32(
+                global_step >= args.train_decoder_after_iters
+            )
+            params, opt_state, metrics = train_step(
+                params, opt_state, bdict, step_rng, module_gate, decoder_gate
+            )
+            global_step += 1
+            window.append(metrics)
+
+            if global_step % args.report_interval == 0 or global_step == 1:
+                window = jax.device_get(window)
+                sums = np.sum([m["loss_sums"] for m in window], axis=0)
+                counts = np.sum([m["loss_counts"] for m in window], axis=0)
+                scalars = {
+                    "loss/total": float(np.mean([m["loss"] for m in window])),
+                    "lr/lr": float(lr_schedule(args)(jnp.float32(global_step))),
+                    "perf/steps_per_sec": len(window) / max(
+                        time.time() - t_start, 1e-6
+                    ),
+                }
+                for i, fam in enumerate(FAMILIES):
+                    if counts[i]:
+                        scalars[f"loss/{fam}"] = float(sums[i] / counts[i])
+                writer.write(global_step, scalars)
+                print(f"step {global_step} " + " ".join(
+                    f"{k}={v:.4f}" for k, v in scalars.items()
+                ))
+                window, t_start = [], time.time()
+
+            if global_step % args.evaluate_interval == 0:
+                acc, fam_means, preds_golds = evaluate_accuracy(
+                    model, params, valid_batcher, eval_step, mesh
+                )
+                scalars = {"valid/acc": acc}
+                scalars.update({
+                    f"valid/{k}": float(v) for k, v in fam_means.items()
+                    if np.isfinite(v)
+                })
+                writer.write(global_step, scalars)
+                print(f"step {global_step} valid acc={acc:.4f}")
+                if args.result_filename:
+                    with open(os.path.join(args.output, args.result_filename),
+                              "w") as f:
+                        json.dump(preds_golds, f)
+                if acc > best_acc:
+                    best_acc = acc
+                    ckpt.save_checkpoint(
+                        os.path.join(args.output, "best_model"),
+                        params, config_dict,
+                    )
+                    print(f"saved best model (acc={acc:.4f})")
+                ckpt.save_checkpoint(
+                    os.path.join(args.output, "latest"), params, config_dict,
+                    opt_state=opt_state,
+                    trainer_state={"step": global_step, "best_acc": best_acc},
+                )
+
+    # Final eval + save.
+    acc, fam_means, preds_golds = evaluate_accuracy(
+        model, params, valid_batcher, eval_step, mesh
+    )
+    writer.write(global_step, {"valid/acc": acc})
+    print(f"final valid acc={acc:.4f} (best={best_acc:.4f})")
+    if acc >= best_acc:
+        best_acc = acc
+        ckpt.save_checkpoint(
+            os.path.join(args.output, "best_model"), params, config_dict
+        )
+    ckpt.save_checkpoint(
+        os.path.join(args.output, "latest"), params, config_dict,
+        opt_state=opt_state,
+        trainer_state={"step": global_step, "best_acc": best_acc},
+    )
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()

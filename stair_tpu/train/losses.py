@@ -1,0 +1,251 @@
+"""Per-module intermediate-supervision losses, fully batched.
+
+Reimplements the reference ``CriterionByModule`` semantics
+(yellow-binary-tree/STAIR ``train_module.py:33-194``) as one jitted, masked
+computation over the executor's final register files:
+
+  * Exists/Xor — CE over the 2-logit pretrain head vs the symbolic boolean;
+  * Equals — MSE of the 1-logit head vs 0/1;
+  * ExistsFrame/Temporal/Localize — soft cross-entropy between predicted
+    frame attention and the rasterized gold interval (``span_to_attention``);
+  * Filter/ToAction/Superlative — in-batch contrastive CE: module outputs are
+    L2-normalized and scored against the text-encoded class table; the
+    positive row is the step's gold class, negatives are every other class
+    present in the batch (the reference emulates this across a 32-step
+    gradient-accumulation window, train_module.py:360-406 — real batching
+    subsumes it);
+  * decoder — answer CE.
+
+Gold class representations are produced by the *current* text encoder under
+``stop_gradient`` each step, matching the reference's ``no_grad`` re-encoding
+(module_net.py:78-89).
+
+All channels are computed masked over the [B, T] step grid; per-family sums
+and counts are returned for telemetry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stair_tpu.data.dataset import (
+    SUP_ATTN1,
+    SUP_ATTN2,
+    SUP_BOOL,
+    SUP_CONTRAST,
+    SUP_EQUALS,
+)
+from stair_tpu.ir.lowering import OP_FAMILY, Opcode
+from stair_tpu.models.modules import l2_normalize, linear
+
+#: Stable family list for telemetry vectors.
+FAMILIES = (
+    "Exists", "Xor", "Equals", "Filter", "ToAction", "Superlative",
+    "ExistsFrame", "Localize", "Temporal", "FilterFrame", "decoder",
+)
+_FAMILY_INDEX = {f: i for i, f in enumerate(FAMILIES)}
+
+#: opcode -> telemetry family index (len(FAMILIES) = untracked, dropped by
+#: the scatter's mode='drop'; -1 would wrap under NumPy index semantics)
+_UNTRACKED = len(FAMILIES)
+_OPCODE_FAMILY = [_UNTRACKED] * (max(Opcode) + 1)
+for _op, _fam in OP_FAMILY.items():
+    _OPCODE_FAMILY[int(_op)] = _FAMILY_INDEX.get(_fam, _UNTRACKED)
+OPCODE_FAMILY_TABLE = jnp.array(_OPCODE_FAMILY, dtype=jnp.int32)
+
+_EPS = 1e-6
+
+
+def _soft_attention_ce(pred, gold, mask):
+    """ref train_module.py:83-90 — per-frame binary soft CE, masked mean."""
+    pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    per_frame = -(gold * jnp.log(pred) + (1.0 - gold) * jnp.log(1.0 - pred))
+    return jnp.sum(per_frame * mask, axis=-1) / jnp.maximum(
+        jnp.sum(mask, axis=-1), 1.0
+    )
+
+
+def encode_class_table(model, params, batch):
+    """Text-encode + L2-normalize the batch's gold class strings (no grad)."""
+    reps = model.encode_sentences(
+        params, batch["class_emb"], batch["class_emb_mask"]
+    )
+    reps = l2_normalize(reps, axis=-1)
+    return jax.lax.stop_gradient(reps)
+
+
+def supervision_losses(model, params, out, batch):
+    """All intermediate losses + decoder CE.
+
+    Returns (scalars dict, telemetry) where scalars contains ``module_loss``
+    and ``decoder_loss`` (mean per example) and telemetry contains
+    per-family loss sums and counts (length ``len(FAMILIES)``).
+    """
+    cfg = model.config
+    tr = batch["trace"]
+    rv, ra = out["regs_vec"], out["regs_attn"]
+    B, T = tr["opcode"].shape
+    bidx = jnp.arange(B)[:, None]
+    op = tr["opcode"]
+    ch = batch["sup_channel"]
+    vmask = batch["video_mask"]                       # [B, F]
+
+    vec_out = rv[bidx, tr["out_vec"]]                 # [B, T, H]
+    fam = OPCODE_FAMILY_TABLE[op]                     # [B, T]
+
+    loss_sums = jnp.zeros((len(FAMILIES),))
+    loss_counts = jnp.zeros((len(FAMILIES),))
+
+    def scatter_family(sums, counts, losses, mask):
+        w = mask.astype(losses.dtype)
+        sums = sums.at[fam].add(losses * w, mode="drop")
+        counts = counts.at[fam].add(w, mode="drop")
+        return sums, counts
+
+    total = 0.0
+
+    # --- Exists / Xor: 2-way CE on the pretrain head --------------------
+    heads = params["modules"]["heads"]
+    logits_e = linear(heads["exists"], vec_out)       # [B, T, 2]
+    logits_x = linear(heads["xor"], vec_out)
+    logits2 = jnp.where(
+        (op == int(Opcode.XOR))[..., None], logits_x, logits_e
+    )
+    label = batch["sup_bool"].astype(jnp.int32)
+    lse = jax.nn.logsumexp(logits2, axis=-1)
+    picked = jnp.take_along_axis(logits2, label[..., None], axis=-1)[..., 0]
+    ce_bool = lse - picked                            # [B, T]
+    mask_bool = ch == SUP_BOOL
+    total = total + jnp.sum(jnp.where(mask_bool, ce_bool, 0.0))
+    loss_sums, loss_counts = scatter_family(
+        loss_sums, loss_counts, ce_bool, mask_bool
+    )
+
+    # --- Equals: MSE on the 1-logit head --------------------------------
+    pred_eq = linear(heads["equals"], vec_out)[..., 0]
+    mse_eq = jnp.square(pred_eq - batch["sup_bool"])
+    mask_eq = ch == SUP_EQUALS
+    total = total + jnp.sum(jnp.where(mask_eq, mse_eq, 0.0))
+    loss_sums, loss_counts = scatter_family(
+        loss_sums, loss_counts, mse_eq, mask_eq
+    )
+
+    # --- Attention channels ---------------------------------------------
+    # Temporal's supervised signal is its gated attention (out_attn_b).
+    attn_idx = jnp.where(
+        op == int(Opcode.TEMPORAL), tr["out_attn_b"], tr["out_attn"]
+    )
+    attn_row0 = ra[bidx, attn_idx]                    # [B, T, F]
+    attn_row1 = ra[bidx, tr["out_attn_b"]]
+    gold = batch["sup_attn"]                          # [B, T, 2, F]
+    fmask = vmask[:, None, :]                         # [B, 1, F]
+
+    ce_row0 = _soft_attention_ce(attn_row0, gold[:, :, 0], fmask)
+    mask_a1 = ch == SUP_ATTN1
+    total = total + jnp.sum(jnp.where(mask_a1, ce_row0, 0.0))
+    loss_sums, loss_counts = scatter_family(
+        loss_sums, loss_counts, ce_row0, mask_a1
+    )
+
+    # Localize: mean over K rows x frames (reference averages the [K, F]
+    # grid, train_module.py:173-182).
+    ce_row1 = _soft_attention_ce(attn_row1, gold[:, :, 1], fmask)
+    rows = batch["sup_attn_rows"].astype(jnp.float32)
+    ce_loc = jnp.where(rows == 2, (ce_row0 + ce_row1) / 2.0, ce_row0)
+    mask_a2 = ch == SUP_ATTN2
+    total = total + jnp.sum(jnp.where(mask_a2, ce_loc, 0.0))
+    loss_sums, loss_counts = scatter_family(
+        loss_sums, loss_counts, ce_loc, mask_a2
+    )
+
+    # --- Contrastive (Filter/ToAction/Superlative) ----------------------
+    class_reps = encode_class_table(model, params, batch)       # [C, H]
+    pred = l2_normalize(vec_out, axis=-1)                       # [B, T, H]
+    sims = jnp.einsum("bth,ch->btc", pred, class_reps)          # [B, T, C]
+    sims = jnp.where(batch["class_valid"][None, None, :] > 0, sims, -jnp.inf)
+    lse_c = jax.nn.logsumexp(sims, axis=-1)                     # [B, T]
+    cls = batch["sup_class"]                                    # [B, T, P]
+    pair_valid = (cls >= 0) & (ch == SUP_CONTRAST)[..., None]
+    picked_c = jnp.take_along_axis(
+        sims, jnp.maximum(cls, 0), axis=-1
+    )                                                           # [B, T, P]
+    ce_cont = lse_c[..., None] - picked_c
+    total = total + jnp.sum(jnp.where(pair_valid, ce_cont, 0.0))
+    # telemetry: attribute the per-step mean over valid pairs
+    pair_count = jnp.sum(pair_valid, axis=-1)
+    step_cont = jnp.sum(
+        jnp.where(pair_valid, ce_cont, 0.0), axis=-1
+    ) / jnp.maximum(pair_count, 1)
+    loss_sums, loss_counts = scatter_family(
+        loss_sums, loss_counts, step_cont, pair_count > 0
+    )
+
+    # --- Decoder CE ------------------------------------------------------
+    logits = out["logits"]
+    dec_lse = jax.nn.logsumexp(logits, axis=-1)
+    dec_picked = jnp.take_along_axis(
+        logits, batch["answer"][:, None].astype(jnp.int32), axis=-1
+    )[:, 0]
+    dec_ce = dec_lse - dec_picked                               # [B]
+    decoder_loss = jnp.mean(dec_ce)
+    didx = _FAMILY_INDEX["decoder"]
+    loss_sums = loss_sums.at[didx].add(jnp.sum(dec_ce))
+    loss_counts = loss_counts.at[didx].add(B)
+
+    scalars = {
+        "module_loss": total / B,
+        "decoder_loss": decoder_loss,
+    }
+    telemetry = {"loss_sums": loss_sums, "loss_counts": loss_counts}
+    return scalars, telemetry
+
+
+def eval_contrastive_similarity(model, params, out, batch):
+    """Eval-mode Filter metric: cosine similarity of each supervised step's
+    output to the mean gold class representation ('cont-valid',
+    ref train_module.py:127-132)."""
+    tr = batch["trace"]
+    rv = out["regs_vec"]
+    B, T = tr["opcode"].shape
+    bidx = jnp.arange(B)[:, None]
+    vec_out = rv[bidx, tr["out_vec"]]
+    class_reps = encode_class_table(model, params, batch)
+    cls = batch["sup_class"]
+    pair_valid = (cls >= 0) & (
+        batch["sup_channel"] == SUP_CONTRAST
+    )[..., None]
+    reps = class_reps[jnp.maximum(cls, 0)]            # [B, T, P, H]
+    mean_gold = jnp.sum(
+        jnp.where(pair_valid[..., None], reps, 0.0), axis=2
+    ) / jnp.maximum(jnp.sum(pair_valid, axis=2, keepdims=True), 1)
+    num = jnp.sum(vec_out * mean_gold, axis=-1)
+    den = jnp.maximum(
+        jnp.linalg.norm(vec_out, axis=-1) * jnp.linalg.norm(mean_gold, axis=-1),
+        1e-8,
+    )
+    cos = num / den
+    step_valid = jnp.any(pair_valid, axis=-1)
+    return jnp.sum(jnp.where(step_valid, cos, 0.0)), jnp.sum(step_valid)
+
+
+def total_loss(
+    model,
+    params,
+    batch,
+    rng,
+    module_loss_weight: float,
+    decoder_loss_weight: float,
+    module_gate,
+    decoder_gate,
+    deterministic: bool = False,
+):
+    """Full training objective; returns (loss, aux)."""
+    out = model.forward(params, batch, rng=rng, deterministic=deterministic)
+    scalars, telemetry = supervision_losses(model, params, out, batch)
+    loss = (
+        module_loss_weight * module_gate * scalars["module_loss"]
+        + decoder_loss_weight * decoder_gate * scalars["decoder_loss"]
+    )
+    aux = {"out": out, "scalars": scalars, "telemetry": telemetry}
+    return loss, aux

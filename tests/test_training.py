@@ -1,0 +1,174 @@
+"""Training-loop tests: losses decrease; mesh-sharded steps match."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+import optax
+
+from stair_tpu.data.dataset import AGQADataset, DataPaths
+from stair_tpu.models.nmn import VideoNMN
+from stair_tpu.parallel.mesh import make_mesh, param_sharding, shard_batch
+from stair_tpu.programs import preprocess
+from stair_tpu.programs.scene_graph import SceneGraphExecutor
+from stair_tpu.train import checkpoint as ckpt
+from stair_tpu.train.loop import (
+    batch_to_device_dict,
+    build_model,
+    lr_schedule,
+    make_batcher,
+    make_train_step,
+)
+
+
+class Args:
+    """Minimal argument namespace for loop helpers."""
+
+    hidden_size = 32
+    max_video_length = 24
+    dropout = 0.1
+    module_loss_weight = 1.0
+    decoder_loss_weight = 1.0
+    filter_attention = "parity"
+    batch_size = 16
+    max_question_len = 24
+    lr = 2e-3
+    weight_decay = 0.0
+    scheduler_start_factor = 1.0
+    scheduler_end_factor = 0.1
+    scheduler_total_iters = 100
+
+
+@pytest.fixture(scope="module")
+def train_world(tmp_path_factory):
+    from stair_tpu.testing.synthetic import make_world
+
+    out = str(tmp_path_factory.mktemp("train_world"))
+    w = make_world(out, num_videos=10, questions_per_video=6,
+                   num_frames=24, seed=3)
+    with open(w["questions"]) as f:
+        qs = json.load(f)
+    preprocess.set_executor(
+        SceneGraphExecutor(w["scene_graphs"], w["id2word"], w["word2id"])
+    )
+    recs = preprocess.convert_split([dict(r, qa_id=k) for k, r in qs.items()])
+    pkl = os.path.join(out, "train.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(recs, f)
+    paths = DataPaths(
+        rgb_path=w["features"], glove_filename=w["glove"],
+        vocab_filename=os.path.join(out, "vocab.json"),
+        video_secs_path=w["video_secs"], train_filename=pkl,
+        word2id_filename=w["word2id"],
+    )
+    ds = AGQADataset(paths, "train", max_video_length=24)
+    return ds
+
+
+def _setup(ds, args=None):
+    args = args or Args()
+    model, _ = build_model(args, [ds])
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(lr_schedule(args))
+    opt_state = optimizer.init(params)
+    batcher = make_batcher(args, ds, model, seed=0)
+    step_fn = make_train_step(model, optimizer, args)
+    return args, model, params, optimizer, opt_state, batcher, step_fn
+
+
+def test_loss_decreases(train_world):
+    ds = train_world
+    args, model, params, opt, opt_state, batcher, step_fn = _setup(ds)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    gate = jnp.float32(1.0)
+    for epoch in range(6):
+        for batch in batcher.epoch(shuffle=True):
+            rng, srng = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch_to_device_dict(batch), srng,
+                gate, gate,
+            )
+            losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert np.isfinite(losses).all()
+    assert last < first * 0.85, f"loss did not decrease: {first} -> {last}"
+
+
+def test_gradients_flow_everywhere(train_world):
+    """Every parameter the batch's programs exercise receives gradient."""
+    from stair_tpu.train.losses import total_loss
+
+    ds = train_world
+    args, model, params, _, _, batcher, _ = _setup(ds)
+    batch = next(batcher.epoch(shuffle=False))
+    bdict = batch_to_device_dict(batch)
+
+    def loss_fn(p):
+        return total_loss(
+            model, p, bdict, jax.random.PRNGKey(0), 1.0, 1.0, 1.0, 1.0,
+            deterministic=True,
+        )[0]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero = {
+        jax.tree_util.keystr(path): bool(np.any(np.asarray(g) != 0))
+        for path, g in flat
+    }
+    # Core paths that must always be live
+    for needle in ("video_encoder", "text_encoder", "decoder", "localize",
+                   "temporal", "filter'"):
+        assert any(
+            nonzero[k] for k in nonzero if needle in k
+        ), f"no gradient reached {needle}"
+
+
+def test_mesh_sharded_step_matches_single_device(train_world, cpu_devices):
+    ds = train_world
+    args, model, params, opt, opt_state, batcher, step_fn = _setup(ds)
+    batch = next(batcher.epoch(shuffle=False))
+    bdict = batch_to_device_dict(batch)
+    rng = jax.random.PRNGKey(7)
+    gate = jnp.float32(1.0)
+
+    # step_fn donates params/opt_state buffers; keep a copy for the 2nd run.
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    p1, _, m1 = step_fn(params, opt_state, bdict, rng, gate, gate)
+
+    mesh = make_mesh(dp=4, tp=2, devices=cpu_devices)
+    params2 = jax.device_put(params_copy, param_sharding(params_copy, mesh))
+    opt_state2 = opt.init(params2)
+    sharded = shard_batch(bdict, mesh)
+    p2, _, m2 = step_fn(params2, opt_state2, sharded, rng, gate, gate)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    l1 = jax.tree_util.tree_leaves(jax.device_get(p1))
+    l2 = jax.tree_util.tree_leaves(jax.device_get(p2))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_checkpoint_roundtrip(train_world, tmp_path):
+    ds = train_world
+    args, model, params, _, _, _, _ = _setup(ds)
+    ckpt.save_checkpoint(
+        str(tmp_path / "best_model"), params, model.config.to_dict(),
+        trainer_state={"step": 5, "best_acc": 0.5},
+    )
+    template = model.init(jax.random.PRNGKey(9))
+    loaded = ckpt.load_params(str(tmp_path / "best_model"), template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cfg = ckpt.load_config(str(tmp_path / "best_model"))
+    assert cfg["hidden_size"] == 32
