@@ -1,0 +1,312 @@
+"""Decoder-only transformer family: GPT-2-class and Llama-class in one.
+
+One implementation parameterized over the architectural axes that separate
+the reference's two LM backbones (yellow-binary-tree/STAIR ``VideoGPT2.py``
+uses GPT-2; the Video-ChatGPT path uses Llama):
+
+  * positions: learned embeddings (GPT-2) or rotary (Llama);
+  * norm: LayerNorm (GPT-2) or RMSNorm (Llama), pre-norm in both;
+  * MLP: GELU (GPT-2, tanh approximation) or SwiGLU (Llama);
+  * attention: MHA or grouped-query (Llama 2/3), always through the Pallas
+    prefix-LM flash kernel (:mod:`stair_tpu.ops.attention`) — the per-example
+    ``prefix_len`` realizes VideoGPT2's "video tokens visible to everyone"
+    dual mask (VideoGPT2.py:56-82) with two scalars instead of mask tensors;
+  * optional LoRA adapters on q/v projections (ref VideoGPT2.py:287-295);
+  * biases toggleable (GPT-2 yes, Llama no).
+
+Weights import from HF checkpoints via :mod:`stair_tpu.llm.import_weights`;
+numerics are parity-tested against transformers' torch implementations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stair_tpu.ops.attention import flash_attention, reference_attention
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    d_model: int = 768
+    num_heads: int = 12
+    num_kv_heads: int | None = None       # GQA; None = num_heads
+    num_layers: int = 12
+    d_ff: int = 3072
+    max_len: int = 1024
+    pos: str = "learned"                  # 'learned' | 'rope'
+    norm: str = "ln"                      # 'ln' | 'rms'
+    mlp: str = "gelu"                     # 'gelu' | 'swiglu'
+    use_bias: bool = True
+    tie_embeddings: bool = True
+    rope_theta: float = 10000.0
+    lora_rank: int = 0
+    rms_eps: float = 1e-6
+
+    @property
+    def kv_heads(self):
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.num_heads
+
+    @classmethod
+    def gpt2(cls, vocab_size=50257, **kw):
+        return cls(vocab_size=vocab_size, pos="learned", norm="ln",
+                   mlp="gelu", use_bias=True, tie_embeddings=True, **kw)
+
+    @classmethod
+    def llama(cls, vocab_size=32000, d_model=4096, num_heads=32,
+              num_layers=32, d_ff=11008, max_len=2048, **kw):
+        return cls(vocab_size=vocab_size, d_model=d_model,
+                   num_heads=num_heads, num_layers=num_layers, d_ff=d_ff,
+                   max_len=max_len, pos="rope", norm="rms", mlp="swiglu",
+                   use_bias=False, tie_embeddings=False, **kw)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _norm(p, x, kind, eps):
+    if kind == "rms":
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + eps) * p["scale"]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+
+def _proj(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _lora(p, x, y):
+    """y + x @ A @ B (applied when adapters exist)."""
+    if "lora_a" in p:
+        y = y + (x @ p["lora_a"]) @ p["lora_b"]
+    return y
+
+
+def _rope(x, positions, theta):
+    """Rotate pairs (HF Llama convention: split halves)."""
+    B, L, H, D = x.shape
+    half = D // 2
+    freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions[:, :, None].astype(jnp.float32) * freq[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _gelu_tanh(x):
+    return 0.5 * x * (
+        1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))
+    )
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+
+class Decoder:
+    def __init__(self, config: DecoderConfig):
+        self.config = config
+
+    # -- init ----------------------------------------------------------------
+
+    def init(self, rng):
+        cfg = self.config
+        D, F = cfg.d_model, cfg.d_ff
+        kvd = cfg.kv_heads * cfg.head_dim
+        keys = iter(jax.random.split(rng, 16 + 16 * cfg.num_layers))
+
+        def lin(fi, fo, bias=None, std=0.02):
+            p = {"w": jax.random.normal(next(keys), (fi, fo)) * std}
+            if cfg.use_bias if bias is None else bias:
+                p["b"] = jnp.zeros((fo,))
+            if cfg.lora_rank:
+                pass  # adapters added separately via add_lora
+            return p
+
+        def norm_p():
+            p = {"scale": jnp.ones((D,))}
+            if cfg.norm == "ln":
+                p["bias"] = jnp.zeros((D,))
+            return p
+
+        def layer():
+            p = {
+                "ln1": norm_p(),
+                "q": lin(D, D), "k": lin(D, kvd), "v": lin(D, kvd),
+                "o": lin(D, D),
+                "ln2": norm_p(),
+            }
+            if cfg.mlp == "swiglu":
+                p["gate"] = lin(D, F)
+                p["up"] = lin(D, F)
+                p["down"] = lin(F, D)
+            else:
+                p["up"] = lin(D, F)
+                p["down"] = lin(F, D)
+            return p
+
+        params = {
+            "embed": jax.random.normal(next(keys), (cfg.vocab_size, D)) * 0.02,
+            "layers": [layer() for _ in range(cfg.num_layers)],
+            "ln_f": norm_p(),
+        }
+        if cfg.pos == "learned":
+            params["pos_embed"] = jax.random.normal(
+                next(keys), (cfg.max_len, D)) * 0.01
+        if not cfg.tie_embeddings:
+            params["lm_head"] = {
+                "w": jax.random.normal(next(keys), (D, cfg.vocab_size)) * 0.02
+            }
+        return params
+
+    def add_lora(self, params, rng, rank=None):
+        """Attach LoRA adapters to q/v projections (ref VideoGPT2.py:287-295)."""
+        cfg = self.config
+        rank = rank or cfg.lora_rank or 8
+        keys = iter(jax.random.split(rng, 2 * len(params["layers"])))
+        for layer in params["layers"]:
+            for name in ("q", "v"):
+                fi, fo = layer[name]["w"].shape
+                layer[name]["lora_a"] = (
+                    jax.random.normal(next(keys), (fi, rank)) / np.sqrt(rank)
+                )
+                layer[name]["lora_b"] = jnp.zeros((rank, fo))
+        return params
+
+    # -- forward -------------------------------------------------------------
+
+    def hidden_states(
+        self, params, input_embeds, prefix_len, valid_len,
+        positions=None, use_flash=True,
+    ):
+        """input_embeds [B, L, D] -> final hidden states [B, L, D]."""
+        cfg = self.config
+        B, L, D = input_embeds.shape
+        x = input_embeds
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+        if cfg.pos == "learned":
+            x = x + params["pos_embed"][positions]
+
+        h_, kv_, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+        for layer in params["layers"]:
+            a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
+            q = _lora(layer["q"], a_in, _proj(layer["q"], a_in))
+            k = _proj(layer["k"], a_in)
+            v = _lora(layer["v"], a_in, _proj(layer["v"], a_in))
+            q = q.reshape(B, L, h_, hd)
+            k = k.reshape(B, L, kv_, hd)
+            v = v.reshape(B, L, kv_, hd)
+            if cfg.pos == "rope":
+                q = _rope(q, positions, cfg.rope_theta)
+                k = _rope(k, positions, cfg.rope_theta)
+            if kv_ != h_:
+                rep = h_ // kv_
+                k = jnp.repeat(k, rep, axis=2)
+                v = jnp.repeat(v, rep, axis=2)
+            q = jnp.moveaxis(q, 1, 2)  # [B, H, L, hd]
+            k = jnp.moveaxis(k, 1, 2)
+            v = jnp.moveaxis(v, 1, 2)
+            attend = flash_attention if use_flash else reference_attention
+            attn = attend(q, k, v, prefix_len, valid_len)
+            attn = jnp.moveaxis(attn, 1, 2).reshape(B, L, D)
+            x = x + _proj(layer["o"], attn)
+
+            m_in = _norm(layer["ln2"], x, cfg.norm, cfg.rms_eps)
+            if cfg.mlp == "swiglu":
+                h = jax.nn.silu(_proj(layer["gate"], m_in)) * _proj(
+                    layer["up"], m_in
+                )
+            else:
+                h = _gelu_tanh(_proj(layer["up"], m_in))
+            x = x + _proj(layer["down"], h)
+        return _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps)
+
+
+    def logits_from_hidden(self, params, hidden):
+        if self.config.tie_embeddings:
+            return hidden @ params["embed"].T
+        return hidden @ params["lm_head"]["w"]
+
+    def forward_tokens(self, params, token_ids, prefix_len=None,
+                       valid_len=None, input_embeds=None):
+        """Token ids (or pre-built embeds) -> logits [B, L, V]."""
+        B, L = token_ids.shape[:2]
+        if input_embeds is None:
+            input_embeds = params["embed"][token_ids]
+        if prefix_len is None:
+            prefix_len = jnp.zeros((B,), jnp.int32)
+        if valid_len is None:
+            valid_len = jnp.full((B,), L, jnp.int32)
+        hidden = self.hidden_states(params, input_embeds, prefix_len, valid_len)
+        return self.logits_from_hidden(params, hidden)
+
+    # -- generation ----------------------------------------------------------
+
+    def generate(
+        self, params, input_embeds, prompt_len, max_new_tokens,
+        prefix_len=None, temperature=0.0, rng=None, eos_id=None,
+        stop_fn=None,
+    ):
+        """Greedy/sampled generation (full-prefix recompute per step).
+
+        ``input_embeds`` [B, Lmax, D] holds the prompt with room for
+        ``max_new_tokens`` more; ``prompt_len`` [B] marks the prompt end.
+        Returns generated token ids [B, max_new_tokens].
+        """
+        cfg = self.config
+        B, Lmax, D = input_embeds.shape
+        if prefix_len is None:
+            prefix_len = jnp.zeros((B,), jnp.int32)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def step(carry, i):
+            embeds, cur_len, done, rng = carry
+            hidden = self.hidden_states(
+                params, embeds, prefix_len, cur_len
+            )
+            idx = jnp.clip(cur_len - 1, 0, Lmax - 1)
+            last = hidden[jnp.arange(B), idx]              # [B, D]
+            logits = self.logits_from_hidden(params, last[:, None, :])[:, 0]
+            rng, sub = jax.random.split(rng)
+            if temperature and temperature > 0:
+                tok = jax.random.categorical(sub, logits / temperature)
+            else:
+                tok = jnp.argmax(logits, axis=-1)
+            tok = tok.astype(jnp.int32)
+            new_embed = params["embed"][tok]
+            embeds = jax.vmap(
+                lambda e, t, n: jax.lax.dynamic_update_slice(
+                    e, n[None, :], (t, 0)
+                )
+            )(embeds, jnp.minimum(cur_len, Lmax - 1), new_embed)
+            if eos_id is not None:
+                done = done | (tok == eos_id)
+            cur_len = jnp.minimum(cur_len + 1, Lmax)
+            return (embeds, cur_len, done, rng), tok
+
+        (embeds, _, _, _), tokens = jax.lax.scan(
+            step,
+            (input_embeds, prompt_len.astype(jnp.int32),
+             jnp.zeros((B,), bool), rng),
+            jnp.arange(max_new_tokens),
+        )
+        return jnp.moveaxis(tokens, 0, 1)                  # [B, T]
