@@ -1,0 +1,222 @@
+"""Video-ChatGPT inference + zero-shot QA evaluation CLIs.
+
+Mirrors the reference's eval scripts (yellow-binary-tree/STAIR
+``video_chatgpt/eval/run_inference_*.py`` + ``inference.py``): load model
+weights, decode each sample's video, build the conversation prompt with the
+``<vid_start><vid_patch>*N<vid_end>`` block, splice CLIP spatio-temporal
+features, sample an answer (T=0.2) and write the predictions JSON. Runs
+batched: prompts are padded per batch and the whole batch generates in one
+compiled loop.
+
+Air-gapped mode: without an HF checkpoint (``--model-path``), a
+randomly-initialized tiny model exercises the full pipeline (useful for
+smoke tests only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flax import serialization
+
+from stair_tpu.llm.clip import ClipVisionConfig, preprocess_frames
+from stair_tpu.llm.conversation import conv_templates
+from stair_tpu.llm.decoder import DecoderConfig
+from stair_tpu.llm.frames import load_video_frames
+from stair_tpu.llm.video_prefix import SimpleTokenizer
+from stair_tpu.llm.videochat import (
+    DEFAULT_VIDEO_PATCH_TOKEN,
+    KeywordsStoppingCriteria,
+    VideoChatConfig,
+    VideoChatModel,
+    build_video_prompt,
+)
+
+
+def initialize_model(args):
+    """Build (model, params, tokenizer). Loads HF weights when given."""
+    if args.model_path and os.path.isdir(args.model_path):
+        import torch
+        from transformers import AutoTokenizer
+
+        from stair_tpu.llm.import_weights import (
+            import_llama,
+            llama_config_from_hf,
+        )
+        from stair_tpu.llm.clip import import_clip_vision
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+        state = torch.load(
+            os.path.join(args.model_path, "pytorch_model.bin"),
+            map_location="cpu",
+        )
+        from transformers import AutoConfig
+
+        hf_cfg = AutoConfig.from_pretrained(args.model_path)
+        dec_cfg = llama_config_from_hf(hf_cfg)
+        vis_cfg = ClipVisionConfig()  # ViT-L/14
+        cfg = VideoChatConfig(decoder=dec_cfg, vision=vis_cfg)
+        model = VideoChatModel(cfg)
+        params = {
+            "decoder": import_llama(state),
+            "vision": import_clip_vision(
+                torch.load(args.vision_path, map_location="cpu")
+            ),
+            "mm_projector": {
+                "w": np.asarray(state["model.mm_projector.weight"]).T,
+                "b": np.asarray(state["model.mm_projector.bias"]),
+            },
+        }
+        return model, params, tokenizer
+    # Air-gapped tiny model.
+    dec_cfg = DecoderConfig.llama(
+        vocab_size=512, d_model=64, num_heads=4, num_layers=2, d_ff=128,
+        max_len=1024,
+    )
+    vis_cfg = ClipVisionConfig(
+        image_size=56, patch_size=14, d_model=32, num_heads=2,
+        num_layers=2, d_ff=64,
+    )
+    cfg = VideoChatConfig(decoder=dec_cfg, vision=vis_cfg, max_temporal=20)
+    model = VideoChatModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokenizer = SimpleTokenizer.build([
+        DEFAULT_VIDEO_PATCH_TOKEN, "<vid_start>", "<vid_end>",
+        "question answer video what did they do ?",
+    ])
+    if args.model_ckpt:
+        with open(os.path.join(args.model_ckpt, "params.msgpack"), "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+    return model, params, tokenizer
+
+
+def video_chatgpt_infer_batch(model, params, tokenizer, questions, frame_sets,
+                              conv_mode="video-chatgpt_v1", max_new_tokens=64,
+                              temperature=0.2, rng=None):
+    """Answer a batch of (question, frames) pairs; returns strings."""
+    cfg = model.config
+    V = cfg.video_token_len
+
+    # Encode videos.
+    video_tokens = []
+    for frames in frame_sets:
+        images = jnp.asarray(
+            preprocess_frames(frames, size=cfg.vision.image_size)
+        )
+        video_tokens.append(model.encode_video(params, images))
+    video_tokens = jnp.stack(video_tokens)
+
+    # Build prompts with the conversation template.
+    prompts = []
+    for q in questions:
+        conv = conv_templates[conv_mode].copy()
+        conv.append_message(
+            conv.roles[0], build_video_prompt(q, V, cfg.use_vid_start_end)
+        )
+        conv.append_message(conv.roles[1], None)
+        prompts.append(conv.get_prompt())
+    stop_str = conv_templates[conv_mode].copy().stop_str
+
+    # Tokenize: the patch block becomes V consecutive placeholder slots.
+    B = len(prompts)
+    enc, splice_starts, lens = [], [], []
+    for p in prompts:
+        pre, _, post = p.partition(DEFAULT_VIDEO_PATCH_TOKEN * V)
+        pre_ids = list(tokenizer.encode(pre))
+        post_ids = list(tokenizer.encode(post))
+        splice_starts.append(len(pre_ids))
+        ids = pre_ids + [0] * V + post_ids
+        enc.append(ids)
+        lens.append(len(ids))
+    Lmax = max(lens) + max_new_tokens
+    Lmax = ((Lmax + 127) // 128) * 128  # kernel-friendly padding
+    token_ids = np.zeros((B, Lmax), np.int32)
+    for b, ids in enumerate(enc):
+        token_ids[b, : len(ids)] = ids
+
+    toks = model.generate(
+        params, jnp.asarray(token_ids), video_tokens,
+        jnp.asarray(np.array(splice_starts, np.int32)),
+        prompt_len=jnp.asarray(np.array(lens, np.int32)),
+        max_new_tokens=max_new_tokens, temperature=temperature,
+        rng=rng or jax.random.PRNGKey(0),
+        eos_id=getattr(tokenizer, "eos_token_id", None),
+    )
+    outputs = []
+    stopper = KeywordsStoppingCriteria([stop_str], tokenizer, 0)
+    for b in range(B):
+        text = tokenizer.decode(np.asarray(toks[b]))
+        outputs.append(stopper.truncate(text))
+    return outputs
+
+
+def run_inference(args):
+    with open(args.gt_file) as f:
+        samples = json.load(f)
+    model, params, tokenizer = initialize_model(args)
+    results = []
+    batch_q, batch_f, batch_meta = [], [], []
+
+    def flush():
+        nonlocal batch_q, batch_f, batch_meta
+        if not batch_q:
+            return
+        answers = video_chatgpt_infer_batch(
+            model, params, tokenizer, batch_q, batch_f,
+            conv_mode=args.conv_mode,
+        )
+        for meta, pred in zip(batch_meta, answers):
+            results.append(dict(meta, pred=pred))
+        batch_q, batch_f, batch_meta = [], [], []
+
+    for sample in samples:
+        video_path = os.path.join(
+            args.video_dir, sample.get("video_name", sample.get("video", ""))
+        )
+        if not os.path.exists(video_path):
+            continue
+        try:
+            frames = load_video_frames(video_path, args.num_frames)
+        except Exception as err:
+            print("skipping", video_path, err)
+            continue
+        batch_q.append(sample.get("question", sample.get("Q", "")))
+        batch_f.append(frames)
+        batch_meta.append({
+            "id": sample.get("id") or sample.get("question_id"),
+            "question": batch_q[-1],
+            "answer": sample.get("answer", sample.get("A", "")),
+        })
+        if len(batch_q) == args.batch_size:
+            flush()
+    flush()
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, args.output_name + ".json")
+    with open(out, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {len(results)} predictions -> {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--video-dir", required=True)
+    p.add_argument("--gt-file", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--output-name", default="preds")
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--vision-path", default=None)
+    p.add_argument("--model-ckpt", default=None)
+    p.add_argument("--conv-mode", default="video-chatgpt_v1")
+    p.add_argument("--num-frames", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=4)
+    run_inference(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

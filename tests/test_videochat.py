@@ -1,0 +1,167 @@
+"""Video-ChatGPT path tests: CLIP parity, pooling, splice, SFT, generation."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from stair_tpu.llm.clip import (
+    ClipVisionConfig,
+    ClipVisionTower,
+    import_clip_vision,
+    preprocess_frames,
+)
+from stair_tpu.llm.decoder import DecoderConfig
+from stair_tpu.llm.videochat import (
+    VideoChatConfig,
+    VideoChatModel,
+    build_video_prompt,
+    spatio_temporal_pool,
+)
+
+
+def test_clip_parity_with_hf():
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = ClipVisionConfig(
+        image_size=28, patch_size=14, d_model=64, num_heads=4,
+        num_layers=3, d_ff=128,
+    )
+    tower = ClipVisionTower(cfg)
+    params = import_clip_vision(hf.state_dict())
+
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(
+            torch.tensor(images.transpose(0, 3, 1, 2)),
+            output_hidden_states=True,
+        )
+    # Penultimate layer, CLS dropped — the features the reference feeds the
+    # projector (inference.py:87-89).
+    ref_feats = ref.hidden_states[-2][:, 1:].numpy()
+    mine = np.asarray(tower.patch_features(params, jnp.asarray(images)))
+    np.testing.assert_allclose(mine, ref_feats, rtol=3e-4, atol=3e-4)
+
+
+def test_spatio_temporal_pool():
+    t, s, c = 7, 4, 8
+    feats = jnp.asarray(np.random.RandomState(0).randn(t, s, c))
+    pooled = np.asarray(spatio_temporal_pool(feats, max_temporal=10))
+    assert pooled.shape == (10 + s, c)
+    np.testing.assert_allclose(
+        pooled[:t], np.asarray(feats).mean(axis=1), rtol=1e-6
+    )
+    assert np.all(pooled[t:10] == 0)  # zero-padded temporal slots
+    np.testing.assert_allclose(
+        pooled[10:], np.asarray(feats).mean(axis=0), rtol=1e-6
+    )
+
+
+def _tiny_model():
+    dec = DecoderConfig.llama(
+        vocab_size=64, d_model=32, num_heads=2, num_layers=2, d_ff=64,
+        max_len=128,
+    )
+    vis = ClipVisionConfig(
+        image_size=28, patch_size=14, d_model=16, num_heads=2,
+        num_layers=2, d_ff=32,
+    )
+    cfg = VideoChatConfig(decoder=dec, vision=vis, max_temporal=6)
+    model = VideoChatModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_splice_and_forward():
+    cfg, model, params = _tiny_model()
+    V = cfg.video_token_len             # 6 + 4 patches
+    B, L = 2, 32
+    rng = np.random.RandomState(0)
+    token_ids = rng.randint(0, 64, (B, L)).astype(np.int32)
+    video_tokens = rng.randn(B, V, cfg.vision.d_model).astype(np.float32)
+    splice_start = np.array([3, 5], np.int32)
+    valid_len = np.array([L, L - 4], np.int32)
+    logits = model.forward(
+        params, jnp.asarray(token_ids), jnp.asarray(video_tokens),
+        jnp.asarray(splice_start), jnp.asarray(valid_len),
+    )
+    assert logits.shape == (B, L, 64)
+    # Splice actually replaces embeddings: forward must differ from no-video.
+    logits2 = model.forward(
+        params, jnp.asarray(token_ids),
+        jnp.asarray(np.zeros_like(video_tokens)),
+        jnp.asarray(splice_start), jnp.asarray(valid_len),
+    )
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_sft_learns_and_generates():
+    import optax
+
+    cfg, model, params = _tiny_model()
+    V = cfg.video_token_len
+    B, L = 4, 32
+    rng = np.random.RandomState(0)
+    video_tokens = rng.randn(B, V, cfg.vision.d_model).astype(np.float32)
+    token_ids = rng.randint(4, 64, (B, L)).astype(np.int32)
+    labels = np.full((B, L), -1, np.int32)
+    labels[:, 20:24] = np.array([7, 8, 9, 2])   # fixed assistant reply
+    token_ids[:, 20:24] = np.array([7, 8, 9, 2])
+    batch = {
+        "token_ids": jnp.asarray(token_ids),
+        "labels": jnp.asarray(labels),
+        "video_tokens": jnp.asarray(video_tokens),
+        "splice_start": jnp.asarray(np.array([2] * B, np.int32)),
+        "valid_len": jnp.asarray(np.array([L] * B, np.int32)),
+    }
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.sft_loss(p, batch)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+
+    toks = model.generate(
+        params, batch["token_ids"], batch["video_tokens"],
+        batch["splice_start"], prompt_len=jnp.asarray([20] * B),
+        max_new_tokens=4, temperature=0.0,
+    )
+    # Greedy continuation should reproduce the memorized reply suffix.
+    assert np.asarray(toks).shape == (B, 4)
+
+
+def test_prompt_builder_and_frames():
+    from stair_tpu.llm.frames import uniform_frame_indices
+
+    prompt = build_video_prompt("what happens ?", 5)
+    assert prompt.count("<vid_patch>") == 5
+    assert "<vid_start>" in prompt and "<vid_end>" in prompt
+    idx = uniform_frame_indices(200, 10)
+    assert len(idx) == 10 and idx[0] == 0 and idx[-1] <= 199
+    frames = (np.random.RandomState(0).rand(3, 50, 60, 3) * 255).astype(
+        np.uint8
+    )
+    out = preprocess_frames(frames, size=28)
+    assert out.shape == (3, 28, 28, 3)
+    assert np.isfinite(out).all()
