@@ -315,6 +315,173 @@ class AGQADataset:
         return w2i.get(rec["answer"], w2i.get("<UNK>"))
 
 
+class STARDataset(AGQADataset):
+    """STAR multiple-choice QA (ref dataset.py:267-369).
+
+    Records come from the ``merge_json_data_program`` path (parser-generated
+    programs merged onto STAR questions). Train/valid keep only examples
+    with a program; the answer id indexes the choices list. Candidate texts
+    are embedded per example and scored by the model's choice head.
+    """
+
+    def __init__(self, paths, split, max_video_length=150,
+                 num_candidates=4, debug=False, seed=0, **_):
+        self.split = split
+        self.max_video_length = max_video_length
+        self.num_candidates = num_candidates
+        filename = {"train": paths.train_filename,
+                    "valid": paths.valid_filename,
+                    "test": paths.test_filename}[split]
+        with open(filename, "rb") as f:
+            records = pickle.load(f)
+        kept = []
+        for rec in records:
+            rec = dict(rec)
+            rec["question"] = rec["question"].replace("/", " ")
+            if split in ("train", "valid"):
+                if not rec.get("nmn_program"):
+                    continue
+                if isinstance(rec.get("answer"), str):
+                    rec["answer_id"] = next(
+                        (i for i, c in enumerate(rec["choices"])
+                         if c["choice"] == rec["answer"]), 0,
+                    )
+                else:
+                    rec["answer_id"] = rec.get("answer", 0)
+            rec.setdefault("qa_id", rec.get("question_id"))
+            rec["sg_res_by_step"] = rec.get("sg_res_by_step") or {}
+            kept.append(rec)
+        self.records = kept
+
+        with open(paths.video_secs_path) as f:
+            self.video_secs = json.load(f)
+        self.embeddings = WordEmbeddings(paths.glove_filename)
+        self.answer_vocab = {"word2id": {}, "id2word": {}}
+        self.word2id, self.id2index = {}, {}
+        used = {r["video_id"] for r in self.records}
+        self.video_feats = load_video_features(
+            paths.rgb_path, paths.flow_path, used, max_video_length, None
+        )
+        self.video_size = next(iter(self.video_feats.values())).shape[-1]
+        self.traces = []
+        self.drop_reasons = {}
+        for rec in self.records:
+            try:
+                tr = lower_program(
+                    rec["nmn_program"], rec.get("nmn_program_idx"),
+                    rec.get("nmn_program_span_by_word") or {},
+                )
+            except Exception as err:
+                self.drop_reasons[type(err).__name__] = (
+                    self.drop_reasons.get(type(err).__name__, 0) + 1
+                )
+                tr = None
+            self.traces.append(tr)
+
+    def video_feature(self, rec):
+        """Clip by the question's [start, end] seconds when given
+        (ref dataset.py:330-337)."""
+        feats = self.video_feats[rec["video_id"]]
+        start, end = rec.get("start"), rec.get("end")
+        if start is None or end is None:
+            return feats
+        secs = self.video_secs.get(rec["video_id"], 0) or 1
+        n = len(feats)
+        lo = int(start / secs * n)
+        hi = max(lo + 1, int(end / secs * n))
+        return feats[lo:hi]
+
+    def answer_id(self, rec):
+        return rec.get("answer_id", 0)
+
+    def candidates(self, rec):
+        return [
+            c["choice"].replace("/", " ") for c in rec.get("choices", [])
+        ][: self.num_candidates]
+
+
+class MSRVTTDataset(AGQADataset):
+    """MSR-VTT open-ended QA (ref dataset.py:372-460): records carry a
+    'video' field; answers map to a frequency-capped vocabulary."""
+
+    def __init__(self, paths, split, max_video_length=150,
+                 max_vocab_length=1000, debug=False, seed=0, **_):
+        self.split = split
+        self.max_video_length = max_video_length
+        filename = {"train": paths.train_filename,
+                    "valid": paths.valid_filename,
+                    "test": paths.test_filename}[split]
+        with open(filename, "rb") as f:
+            records = pickle.load(f)
+        kept = []
+        for rec in records:
+            rec = dict(rec)
+            rec["video_id"] = rec.get(
+                "video_id", rec.get("video", "")
+            ).replace(".mp4", "")
+            rec.setdefault("qa_id", rec.get("question_id"))
+            rec["sg_res_by_step"] = rec.get("sg_res_by_step") or {}
+            if split in ("train", "valid") and not rec.get("nmn_program"):
+                continue
+            kept.append(rec)
+        self.records = kept
+
+        with open(paths.video_secs_path) as f:
+            self.video_secs = json.load(f)
+        self.embeddings = WordEmbeddings(paths.glove_filename)
+        if os.path.exists(paths.vocab_filename):
+            self.answer_vocab = build_or_load_answer_vocab_open(
+                paths.vocab_filename
+            )
+        else:
+            from collections import Counter
+
+            counts = Counter(r["answer"] for r in kept)
+            ordered = [w for w, _ in counts.most_common(max_vocab_length)]
+            ordered.append("<UNK>")
+            self.answer_vocab = {
+                "word2id": {w: i for i, w in enumerate(ordered)},
+                "id2word": {i: w for i, w in enumerate(ordered)},
+            }
+            with open(paths.vocab_filename, "w") as f:
+                json.dump(
+                    {"word2id": self.answer_vocab["word2id"],
+                     "id2word": {str(k): v for k, v in
+                                 self.answer_vocab["id2word"].items()}}, f,
+                )
+        self.word2id, self.id2index = {}, {}
+        used = {r["video_id"] for r in self.records}
+        str2num = None
+        if paths.str2num_path and os.path.exists(paths.str2num_path):
+            with open(paths.str2num_path) as f:
+                str2num = json.load(f)
+        self.video_feats = load_video_features(
+            paths.rgb_path, paths.flow_path, used, max_video_length, str2num
+        )
+        self.video_size = next(iter(self.video_feats.values())).shape[-1]
+        self.traces = []
+        self.drop_reasons = {}
+        for rec in self.records:
+            try:
+                tr = lower_program(
+                    rec["nmn_program"], rec.get("nmn_program_idx"),
+                    rec.get("nmn_program_span_by_word") or {},
+                )
+            except Exception as err:
+                self.drop_reasons[type(err).__name__] = (
+                    self.drop_reasons.get(type(err).__name__, 0) + 1
+                )
+                tr = None
+            self.traces.append(tr)
+
+
+def build_or_load_answer_vocab_open(vocab_filename: str) -> dict:
+    with open(vocab_filename) as f:
+        vocab = json.load(f)
+    vocab["id2word"] = {int(k): v for k, v in vocab["id2word"].items()}
+    return vocab
+
+
 # ---------------------------------------------------------------------------
 # Supervision packing
 # ---------------------------------------------------------------------------
@@ -372,6 +539,10 @@ class Batch:
     sup_class: np.ndarray         # [B, T, Pmax] int32 class ids (-1 pad)
     qa_ids: list = None
     meta: dict = None
+    # multiple-choice candidates (STAR): None for open-ended datasets
+    cand_emb: np.ndarray = None   # [B, C, Lc, text]
+    cand_mask: np.ndarray = None  # [B, C, Lc]
+    cand_valid: np.ndarray = None  # [B, C]
 
 
 class Batcher:
@@ -450,6 +621,18 @@ class Batcher:
             answer[b] = ds.answer_id(rec)
 
         tb = pad_traces(traces, T, NV, NF, NA)
+        cand_emb = cand_mask = cand_valid = None
+        if hasattr(ds, "candidates"):
+            C, Lc = ds.num_candidates, self.max_class_len
+            cand_emb = np.zeros((B, C, Lc, text_dim), np.float32)
+            cand_mask = np.zeros((B, C, Lc), np.float32)
+            cand_valid = np.zeros((B, C), np.float32)
+            for b, rec in enumerate(recs):
+                for c, text in enumerate(ds.candidates(rec)):
+                    e = ds.embeddings.embed_sentence(text)[:Lc]
+                    cand_emb[b, c, : len(e)] = e
+                    cand_mask[b, c, : len(e)] = 1.0
+                    cand_valid[b, c] = 1.0
         batch = Batch(
             question=question,
             question_mask=question_mask,
@@ -474,6 +657,7 @@ class Batcher:
             sup_class=-np.ones((B, T, self.max_positives), dtype=np.int32),
             qa_ids=[r.get("qa_id") for r in recs],
             meta={"real": real if real is not None else B, "indices": indices},
+            cand_emb=cand_emb, cand_mask=cand_mask, cand_valid=cand_valid,
         )
         self._pack_supervision(batch, recs, traces)
         return batch

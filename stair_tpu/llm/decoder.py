@@ -258,55 +258,146 @@ class Decoder:
         hidden = self.hidden_states(params, input_embeds, prefix_len, valid_len)
         return self.logits_from_hidden(params, hidden)
 
-    # -- generation ----------------------------------------------------------
+    # -- generation (prefill + KV-cache decode) ------------------------------
+
+    def _project_qkv(self, layer, x, positions):
+        """x [B, L, D] -> q [B, h, L, hd], k/v [B, h, L, hd] (GQA expanded)."""
+        cfg = self.config
+        B, L, D = x.shape
+        h_, kv_, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+        q = _lora(layer["q"], x, _proj(layer["q"], x)).reshape(B, L, h_, hd)
+        k = _proj(layer["k"], x).reshape(B, L, kv_, hd)
+        v = _lora(layer["v"], x, _proj(layer["v"], x)).reshape(B, L, kv_, hd)
+        if cfg.pos == "rope":
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+        if kv_ != h_:
+            rep = h_ // kv_
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        return (jnp.moveaxis(q, 1, 2), jnp.moveaxis(k, 1, 2),
+                jnp.moveaxis(v, 1, 2))
+
+    def _layer_tail(self, layer, x, attn_out):
+        cfg = self.config
+        B, L, D = x.shape
+        x = x + _proj(layer["o"], attn_out.reshape(B, L, D))
+        m_in = _norm(layer["ln2"], x, cfg.norm, cfg.rms_eps)
+        if cfg.mlp == "swiglu":
+            h = jax.nn.silu(_proj(layer["gate"], m_in)) * _proj(
+                layer["up"], m_in
+            )
+        else:
+            h = _gelu_tanh(_proj(layer["up"], m_in))
+        return x + _proj(layer["down"], h)
+
+    def prefill(self, params, input_embeds, prefix_len, valid_len):
+        """Full-prompt forward that also returns per-layer KV caches.
+
+        Returns (hidden [B, L, D], caches: list of (k, v) [B, h, L, hd]).
+        """
+        cfg = self.config
+        B, L, D = input_embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+        x = input_embeds
+        if cfg.pos == "learned":
+            x = x + params["pos_embed"][positions]
+        caches = []
+        for layer in params["layers"]:
+            a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
+            q, k, v = self._project_qkv(layer, a_in, positions)
+            caches.append((k, v))
+            attn = flash_attention(q, k, v, prefix_len, valid_len)
+            x = self._layer_tail(layer, x, jnp.moveaxis(attn, 1, 2))
+        return _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps), caches
+
+    def decode_one(self, params, caches, token_embed, cur_len):
+        """One KV-cache decode step.
+
+        token_embed [B, D] for position ``cur_len`` [B]; caches are updated
+        in place (functionally) at that position. Returns (logits, caches).
+        """
+        cfg = self.config
+        B, D = token_embed.shape
+        Lmax = caches[0][0].shape[2]
+        positions = cur_len[:, None]                       # [B, 1]
+        x = token_embed[:, None, :]
+        if cfg.pos == "learned":
+            x = x + params["pos_embed"][jnp.minimum(cur_len, cfg.max_len - 1)][:, None]
+        cols = jnp.arange(Lmax)[None, None, None, :]
+        new_caches = []
+        for layer, (ck, cv) in zip(params["layers"], caches):
+            a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
+            q, k, v = self._project_qkv(layer, a_in, positions)
+            # Insert this step's k/v at cur_len.
+            def put(cache, new):
+                return jax.vmap(
+                    lambda c, n, t: jax.lax.dynamic_update_slice(
+                        c, n, (0, t, 0)
+                    )
+                )(cache, new, cur_len)
+            ck = put(ck, k)
+            cv = put(cv, v)
+            new_caches.append((ck, cv))
+            mask = cols <= cur_len[:, None, None, None]    # [B,1,1,Lmax]
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / np.sqrt(cfg.head_dim)
+            s = jnp.where(mask, s, -1e30)
+            w = jax.nn.softmax(s, axis=-1)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
+            x = self._layer_tail(layer, x, jnp.moveaxis(attn, 1, 2))
+        x = _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps)
+        logits = self.logits_from_hidden(params, x)[:, 0]
+        return logits, new_caches
 
     def generate(
         self, params, input_embeds, prompt_len, max_new_tokens,
         prefix_len=None, temperature=0.0, rng=None, eos_id=None,
-        stop_fn=None,
     ):
-        """Greedy/sampled generation (full-prefix recompute per step).
+        """Prefill once (flash kernel), then KV-cache decode.
 
         ``input_embeds`` [B, Lmax, D] holds the prompt with room for
         ``max_new_tokens`` more; ``prompt_len`` [B] marks the prompt end.
         Returns generated token ids [B, max_new_tokens].
         """
-        cfg = self.config
         B, Lmax, D = input_embeds.shape
+        prompt_len = prompt_len.astype(jnp.int32)
         if prefix_len is None:
             prefix_len = jnp.zeros((B,), jnp.int32)
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        def step(carry, i):
-            embeds, cur_len, done, rng = carry
-            hidden = self.hidden_states(
-                params, embeds, prefix_len, cur_len
-            )
-            idx = jnp.clip(cur_len - 1, 0, Lmax - 1)
-            last = hidden[jnp.arange(B), idx]              # [B, D]
-            logits = self.logits_from_hidden(params, last[:, None, :])[:, 0]
-            rng, sub = jax.random.split(rng)
+        hidden, caches = self.prefill(
+            params, input_embeds, prefix_len, prompt_len
+        )
+        last = hidden[jnp.arange(B), jnp.clip(prompt_len - 1, 0, Lmax - 1)]
+        logits0 = self.logits_from_hidden(params, last[:, None, :])[:, 0]
+
+        def sample(logits, key):
             if temperature and temperature > 0:
-                tok = jax.random.categorical(sub, logits / temperature)
-            else:
-                tok = jnp.argmax(logits, axis=-1)
-            tok = tok.astype(jnp.int32)
-            new_embed = params["embed"][tok]
-            embeds = jax.vmap(
-                lambda e, t, n: jax.lax.dynamic_update_slice(
-                    e, n[None, :], (t, 0)
-                )
-            )(embeds, jnp.minimum(cur_len, Lmax - 1), new_embed)
+                return jax.random.categorical(
+                    key, logits / temperature
+                ).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        rng, k0 = jax.random.split(rng)
+        tok0 = sample(logits0, k0)
+
+        def step(carry, i):
+            caches, tok, cur_len, done, rng = carry
+            rng, key = jax.random.split(rng)
+            embed = params["embed"][tok]
+            logits, caches = self.decode_one(
+                params, caches, embed, jnp.minimum(cur_len, Lmax - 1)
+            )
+            new_tok = sample(logits, key)
             if eos_id is not None:
                 done = done | (tok == eos_id)
-            cur_len = jnp.minimum(cur_len + 1, Lmax)
-            return (embeds, cur_len, done, rng), tok
+                new_tok = jnp.where(done, tok, new_tok)
+            return (caches, new_tok, cur_len + 1, done, rng), tok
 
-        (embeds, _, _, _), tokens = jax.lax.scan(
+        (_, _, _, _, _), tokens = jax.lax.scan(
             step,
-            (input_embeds, prompt_len.astype(jnp.int32),
-             jnp.zeros((B,), bool), rng),
+            (caches, tok0, prompt_len, jnp.zeros((B,), bool), rng),
             jnp.arange(max_new_tokens),
         )
         return jnp.moveaxis(tokens, 0, 1)                  # [B, T]

@@ -89,6 +89,11 @@ class VideoNMN:
                 "l1": M._init_linear(k_dec1, 2 * H, 2 * H),
                 "l2": M._init_linear(k_dec2, 2 * H, cfg.answer_vocab_length),
             },
+            # Multiple-choice head (STAR): scores candidate encodings
+            # against the program output + question state.
+            "choice_proj": M._init_linear(
+                jax.random.fold_in(k_dec2, 1), 2 * H, H
+            ),
         }
         return params
 
@@ -330,6 +335,30 @@ class VideoNMN:
             "regs_attn": ra,
             "root": root,
         }
+
+
+def choice_logits(model, params, out, cand_emb, cand_mask, cand_valid):
+    """Score multiple-choice candidates (STAR).
+
+    The reference's STAR path is incomplete (its executor never consumes the
+    candidate encodings the dataset prepares — SURVEY §2.6); this head makes
+    it functional: candidates are text-encoded, and scored against a
+    projection of [program output; question feature].
+
+    cand_emb [B, C, Lc, text]; returns [B, C] with -inf on invalid slots.
+    """
+    B, C, Lc, text = cand_emb.shape
+    reps = model.encode_sentences(
+        params,
+        cand_emb.reshape(B * C, Lc, text),
+        cand_mask.reshape(B * C, Lc),
+    ).reshape(B, C, -1)                                   # [B, C, H]
+    query = jax.nn.relu(M.linear(
+        params["choice_proj"],
+        jnp.concatenate([out["root"], out["question_feature"]], axis=-1),
+    ))                                                    # [B, H]
+    scores = jnp.einsum("bh,bch->bc", query, reps)
+    return jnp.where(cand_valid > 0, scores, -jnp.inf)
 
 
 def _select(op, candidates, default):

@@ -1,0 +1,181 @@
+"""STAR/MSRVTT datasets, choice head, weight deltas, reformat utility."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from stair_tpu.data.dataset import (
+    AGQADataset,
+    Batcher,
+    DataPaths,
+    MSRVTTDataset,
+    STARDataset,
+)
+from stair_tpu.models.nmn import NMNConfig, VideoNMN, choice_logits
+
+
+def _write_features(dirname, video_ids, frames=24, dim=32):
+    os.makedirs(dirname, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for vid in video_ids:
+        np.save(os.path.join(dirname, vid + ".npy"),
+                rng.randn(frames * 2, dim).astype(np.float32))
+
+
+def _base_record(qa_id, vid, program=("Filter", "video", "actions")):
+    return {
+        "qa_id": qa_id, "question_id": qa_id,
+        "question": "what did they do ?",
+        "nmn_program": list(program),
+        "nmn_program_idx": [None] * len(program),
+        "nmn_program_span_by_word": {},
+        "sg_res_by_step": {},
+        "video_id": vid,
+    }
+
+
+@pytest.fixture()
+def star_world(tmp_path):
+    vids = ["S0", "S1", "S2"]
+    _write_features(str(tmp_path / "feats"), vids)
+    records = []
+    for i in range(9):
+        rec = _base_record("Interaction_T1_%d" % i, vids[i % 3])
+        rec["choices"] = [
+            {"choice_id": j, "choice": "answer %d" % j} for j in range(4)
+        ]
+        rec["answer"] = "answer %d" % (i % 4)
+        rec["start"], rec["end"] = 0.5, 6.0
+        records.append(rec)
+    pkl = str(tmp_path / "star.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(records, f)
+    with open(tmp_path / "secs.json", "w") as f:
+        json.dump({v: 8.0 for v in vids}, f)
+    glove = tmp_path / "glove.txt"
+    rng = np.random.RandomState(1)
+    words = ["what", "did", "they", "do", "?", "answer", "0", "1", "2", "3"]
+    with open(glove, "w") as f:
+        f.write("%d 16\n" % len(words))
+        for w in words:
+            f.write(w + " " + " ".join(
+                "%.4f" % x for x in rng.randn(16)) + "\n")
+    return DataPaths(
+        rgb_path=str(tmp_path / "feats"), glove_filename=str(glove),
+        vocab_filename=str(tmp_path / "vocab.json"),
+        video_secs_path=str(tmp_path / "secs.json"),
+        train_filename=pkl, valid_filename=pkl, test_filename=pkl,
+    )
+
+
+def test_star_dataset_and_choice_head(star_world):
+    ds = STARDataset(star_world, "train", max_video_length=24)
+    assert len(ds) == 9
+    assert ds.records[0]["answer_id"] == 0
+    # video clipping by [start, end]
+    v = ds.video_feature(ds.records[0])
+    assert 0 < len(v) < 24
+
+    T, NV, NF, NA = ds.trace_geometry()
+    batcher = Batcher(ds, batch_size=4, max_steps=T, num_vec=NV,
+                      num_frames=NF, num_attn=NA)
+    batch = next(batcher.epoch(shuffle=False))
+    assert batch.cand_emb is not None
+    assert batch.cand_emb.shape[:2] == (4, 4)
+
+    cfg = NMNConfig(
+        hidden_size=32, video_size=ds.video_size,
+        text_size=ds.embeddings.dim, answer_vocab_length=4,
+        max_video_length=24, object_types=1, have_pretrain_head=False,
+        max_steps=T, num_vec=NV, num_frames=NF, num_attn=NA,
+    )
+    model = VideoNMN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    bdict = {
+        "question": batch.question, "question_mask": batch.question_mask,
+        "video": batch.video, "video_mask": batch.video_mask,
+        "trace": batch.trace, "root_reg": batch.root_reg,
+        "root_is_vec": batch.root_is_vec,
+    }
+    out = model.forward(params, bdict)
+    scores = choice_logits(
+        model, params, out, jnp.asarray(batch.cand_emb),
+        jnp.asarray(batch.cand_mask), jnp.asarray(batch.cand_valid),
+    )
+    assert scores.shape == (4, 4)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_msrvtt_dataset(tmp_path):
+    vids = ["video7010", "video7011"]
+    _write_features(str(tmp_path / "feats"), vids)
+    records = []
+    for i in range(6):
+        rec = _base_record("q%d" % i, "")
+        rec["video"] = vids[i % 2] + ".mp4"
+        del rec["video_id"]
+        rec["answer"] = ["cat", "dog", "cat"][i % 3]
+        records.append(rec)
+    pkl = str(tmp_path / "msrvtt.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(records, f)
+    with open(tmp_path / "secs.json", "w") as f:
+        json.dump({v: 10.0 for v in vids}, f)
+    glove = tmp_path / "glove.txt"
+    with open(glove, "w") as f:
+        f.write("1 8\n")
+        f.write("what " + " ".join(["0.1"] * 8) + "\n")
+    paths = DataPaths(
+        rgb_path=str(tmp_path / "feats"), glove_filename=str(glove),
+        vocab_filename=str(tmp_path / "vocab.json"),
+        video_secs_path=str(tmp_path / "secs.json"),
+        train_filename=pkl, valid_filename=pkl, test_filename=pkl,
+    )
+    ds = MSRVTTDataset(paths, "train", max_video_length=24)
+    assert len(ds) == 6
+    assert ds.records[0]["video_id"] == "video7010"
+    w2i = ds.answer_vocab["word2id"]
+    assert "cat" in w2i and "<UNK>" in w2i
+    assert ds.answer_id(ds.records[0]) == w2i["cat"]
+
+
+def test_weight_delta_roundtrip():
+    from stair_tpu.llm.weight_delta import apply_delta, make_delta
+
+    base = {"a": {"w": np.ones((3, 3)), "b": np.zeros(3)}}
+    tuned = {
+        "a": {"w": np.full((3, 3), 2.0), "b": np.ones(3)},
+        "new_head": {"w": np.full((2,), 7.0)},
+    }
+    delta = make_delta(base, tuned)
+    restored = apply_delta(base, delta)
+    np.testing.assert_array_equal(restored["a"]["w"], tuned["a"]["w"])
+    np.testing.assert_array_equal(
+        restored["new_head"]["w"], tuned["new_head"]["w"]
+    )
+
+
+def test_reformat_agqa(tmp_path):
+    from stair_tpu.llm.reformat_agqa import reformat
+
+    src = {
+        "q%d" % i: {"question": "what happened ?", "answer": "yes",
+                    "video_id": "V%d" % i}
+        for i in range(100)
+    }
+    filt = {
+        "q0": {2: (1, "objects", ["dish", "cup"])},
+    }
+    out = reformat(src, filt, sample_ratio=1.0, seed=0)
+    assert len(out) == 100
+    by_id = {o["question_id"]: o for o in out}
+    assert by_id["q0"]["question"].startswith(
+        "Possible useful information in video: objects dish."
+    )
+    assert by_id["q1"]["question"] == "what happened ?"

@@ -142,3 +142,38 @@ def test_generation_and_lora():
     )
     changed = model.forward_tokens(params, jnp.asarray(ids))
     assert not np.allclose(np.asarray(base), np.asarray(changed))
+
+
+def test_kv_cache_decode_matches_full_forward():
+    """decode_one over cached KV must equal the full-sequence forward."""
+    from stair_tpu.llm.decoder import DecoderConfig
+
+    cfg = DecoderConfig.gpt2(vocab_size=40, d_model=32, num_heads=2,
+                             num_layers=2, d_ff=64, max_len=32)
+    model = Decoder(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    B, L = 2, 10
+    ids = rng.randint(0, 40, (B, L + 1)).astype(np.int32)
+    full = np.asarray(model.forward_tokens(params, jnp.asarray(ids)))
+
+    # Prefill the first L tokens, then decode token L with the cache.
+    embeds = np.zeros((B, 16, cfg.d_model), np.float32)
+    embeds[:, :L] = np.asarray(params["embed"])[ids[:, :L]]
+    prompt_len = jnp.asarray(np.array([L, L], np.int32))
+    hidden, caches = model.prefill(
+        params, jnp.asarray(embeds), jnp.zeros((B,), jnp.int32), prompt_len
+    )
+    # Prefill hidden at position L-1 must match the full forward.
+    last_logits = np.asarray(
+        model.logits_from_hidden(params, hidden[:, L - 1:L])
+    )[:, 0]
+    np.testing.assert_allclose(last_logits, full[:, L - 1], rtol=2e-4,
+                               atol=2e-4)
+    tok_embed = jnp.asarray(np.asarray(params["embed"])[ids[:, L]])
+    logits, _ = model.decode_one(
+        params, caches, tok_embed, jnp.full((B,), L, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), full[:, L], rtol=2e-4, atol=2e-4
+    )
