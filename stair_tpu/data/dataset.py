@@ -67,16 +67,29 @@ class WordEmbeddings:
                     self.table[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
             self.dim = len(next(iter(self.table.values())))
 
+    def _ensure_matrix(self):
+        if getattr(self, "_matrix", None) is None:
+            self._index = {w: i for i, w in enumerate(self.table)}
+            self._matrix = np.stack(
+                [np.asarray(v, np.float32) for v in self.table.values()]
+            ) if self.table else np.zeros((0, self.dim), np.float32)
+
+    def _oov(self, word: str) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.sha256(word.encode()).digest()[:4], "little"
+        )
+        return np.random.RandomState(seed).rand(self.dim).astype(np.float32)
+
     def embed_words(self, words: list[str]) -> np.ndarray:
-        out = np.empty((len(words), self.dim), dtype=np.float32)
-        for i, w in enumerate(words):
-            vec = self.table.get(w)
-            if vec is None:
-                seed = int.from_bytes(
-                    hashlib.sha256(w.encode()).digest()[:4], "little"
-                )
-                vec = np.random.RandomState(seed).rand(self.dim)
-            out[i] = vec
+        self._ensure_matrix()
+        ids = np.array(
+            [self._index.get(w, -1) for w in words], np.int64
+        )
+        out = self._matrix[np.maximum(ids, 0)] if len(words) else np.zeros(
+            (0, self.dim), np.float32
+        )
+        for i in np.nonzero(ids < 0)[0]:
+            out[i] = self._oov(words[i])
         return out
 
     def embed_sentence(self, sent) -> np.ndarray:
@@ -255,6 +268,9 @@ class AGQADataset:
             paths.rgb_path, paths.flow_path, used, max_video_length, str2num
         )
         self.video_size = next(iter(self.video_feats.values())).shape[-1]
+        from stair_tpu.runtime.loader import FeatureArena
+
+        self.feature_arena = FeatureArena(self.video_feats)
 
         # Object-type vocabulary for pretrain heads / FilterFrame supervision.
         self.word2id, self.id2index = {}, {}
@@ -608,6 +624,8 @@ class Batcher:
 
         traces = []
         recs = []
+        arena = getattr(ds, "feature_arena", None)
+        use_arena = arena is not None and type(ds).video_feature is AGQADataset.video_feature
         for b, idx in enumerate(indices):
             rec = ds.records[idx]
             recs.append(rec)
@@ -615,10 +633,15 @@ class Batcher:
             q = ds.question_embedding(rec)[:L]
             question[b, : len(q)] = q
             question_mask[b, : len(q)] = 1.0
-            v = ds.video_feature(rec)[:F]
-            video[b, : len(v)] = v
-            video_mask[b, : len(v)] = 1.0
+            if not use_arena:
+                v = ds.video_feature(rec)[:F]
+                video[b, : len(v)] = v
+                video_mask[b, : len(v)] = 1.0
             answer[b] = ds.answer_id(rec)
+        if use_arena:
+            video, video_mask = arena.gather(
+                [r["video_id"] for r in recs], F
+            )
 
         tb = pad_traces(traces, T, NV, NF, NA)
         cand_emb = cand_mask = cand_valid = None

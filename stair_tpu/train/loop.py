@@ -295,10 +295,12 @@ def main(args=None):
         global_step, best_acc = state["step"], state["best_acc"]
         print(f"resuming at step {global_step}")
 
+    from stair_tpu.runtime.loader import PrefetchIterator
+
     t_start = time.time()
     window = []
     for epoch in range(args.num_epochs):
-        for batch in train_batcher.epoch(shuffle=True):
+        for batch in PrefetchIterator(train_batcher.epoch(shuffle=True)):
             bdict = batch_to_device_dict(batch)
             if mesh is not None:
                 bdict = shard_batch(bdict, mesh)
