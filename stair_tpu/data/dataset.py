@@ -520,7 +520,8 @@ def span_to_attention(gold: tuple, num_frames: int) -> np.ndarray:
 
 
 # Supervision channel codes (routing inside the jitted loss).
-SUP_NONE, SUP_BOOL, SUP_EQUALS, SUP_ATTN1, SUP_ATTN2, SUP_CONTRAST = range(6)
+(SUP_NONE, SUP_BOOL, SUP_EQUALS, SUP_ATTN1, SUP_ATTN2, SUP_CONTRAST,
+ SUP_FRAME) = range(7)
 
 #: module family -> supervision channel for scalar/bool targets
 _FAMILY_CHANNEL = {
@@ -559,6 +560,10 @@ class Batch:
     cand_emb: np.ndarray = None   # [B, C, Lc, text]
     cand_mask: np.ndarray = None  # [B, C, Lc]
     cand_valid: np.ndarray = None  # [B, C]
+    # FilterFrame supervision (sparse; off by default like the reference)
+    ff_index: np.ndarray = None   # [Sff, 2] (example, step)
+    ff_gold: np.ndarray = None    # [Sff, F, object_types]
+    ff_valid: np.ndarray = None   # [Sff]
 
 
 class Batcher:
@@ -576,6 +581,7 @@ class Batcher:
         max_positives: int = 4,
         max_classes: int = 64,
         max_class_len: int = 8,
+        max_filterframe: int = 4,
         seed: int = 0,
         drop_remainder: bool = False,
     ):
@@ -586,6 +592,7 @@ class Batcher:
         self.max_positives = max_positives
         self.max_classes = max_classes
         self.max_class_len = max_class_len
+        self.max_filterframe = max_filterframe
         self.rng = random.Random(seed)
         self.drop_remainder = drop_remainder
         self.indices = [
@@ -681,6 +688,12 @@ class Batcher:
             qa_ids=[r.get("qa_id") for r in recs],
             meta={"real": real if real is not None else B, "indices": indices},
             cand_emb=cand_emb, cand_mask=cand_mask, cand_valid=cand_valid,
+            ff_index=np.zeros((self.max_filterframe, 2), np.int32),
+            ff_gold=np.zeros(
+                (self.max_filterframe, F, max(1, len(ds.id2index))),
+                np.float32,
+            ),
+            ff_valid=np.zeros((self.max_filterframe,), np.float32),
         )
         self._pack_supervision(batch, recs, traces)
         return batch
@@ -760,6 +773,27 @@ class Batcher:
                                 rescale(gold[r]), F
                             )
                         batch.sup_attn_rows[b, t] = rows
+                elif family == "FilterFrame" and isinstance(gold, dict):
+                    # Per-class occurrence grid, rows normalized
+                    # (ref train_module.py:141-155). Sparse: few steps/batch.
+                    slot = int(batch.ff_valid.sum())
+                    if slot >= self.max_filterframe or not ds.word2id:
+                        continue
+                    grid = np.zeros_like(batch.ff_gold[slot])
+                    for name, iv in gold.items():
+                        cid = ds.word2id.get(name)
+                        if cid is None or not (
+                            isinstance(iv, (tuple, list)) and len(iv) == 2
+                        ):
+                            continue
+                        grid[:, cid] = span_to_attention(rescale(iv), F)
+                    row_sum = grid.sum(axis=1, keepdims=True)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        grid = np.where(row_sum > 0, grid / row_sum, 0.0)
+                    batch.ff_index[slot] = (b, t)
+                    batch.ff_gold[slot] = grid
+                    batch.ff_valid[slot] = 1.0
+                    batch.sup_channel[b, t] = SUP_FRAME
                 elif channel == SUP_CONTRAST:
                     names = (
                         [gold] if isinstance(gold, str) else

@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle-video", type=int, default=0)
 
     # TPU-native additions
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an XLA profiler trace of steps "
+                        "[profile-start, profile-start+profile-steps)")
+    p.add_argument("--profile-start", type=int, default=10)
+    p.add_argument("--profile-steps", type=int, default=5)
     p.add_argument("--mesh-dp", type=int, default=0,
                    help="data-parallel mesh size (0 = all local devices)")
     p.add_argument("--mesh-tp", type=int, default=1,

@@ -74,6 +74,9 @@ def batch_to_device_dict(batch) -> dict:
         "class_emb_mask": batch.class_emb_mask,
         "class_valid": batch.class_valid,
         "sup_class": batch.sup_class,
+        "ff_index": batch.ff_index,
+        "ff_gold": batch.ff_gold,
+        "ff_valid": batch.ff_valid,
     }
 
 
@@ -138,6 +141,9 @@ def make_train_step(model, optimizer, args):
                 module_gate=module_gate,
                 decoder_gate=decoder_gate,
                 deterministic=False,
+                train_filterframe="FilterFrame" not in (
+                    args.modules_no_intermediate_train or []
+                ),
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -286,6 +292,9 @@ def main(args=None):
     valid_batcher = make_batcher(args, valid_ds, model, seed=0)
 
     writer = MetricsWriter(args.output)
+    from stair_tpu.utils.snapshot import backup_code
+
+    backup_code(args.output)
     num_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model has {num_params} parameters")
 
@@ -296,7 +305,9 @@ def main(args=None):
         print(f"resuming at step {global_step}")
 
     from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.utils import profiling
 
+    timer = profiling.StepTimer()
     t_start = time.time()
     window = []
     for epoch in range(args.num_epochs):
@@ -311,10 +322,20 @@ def main(args=None):
             decoder_gate = jnp.float32(
                 global_step >= args.train_decoder_after_iters
             )
+            if args.profile_dir and global_step == args.profile_start:
+                jax.profiler.start_trace(args.profile_dir)
             params, opt_state, metrics = train_step(
                 params, opt_state, bdict, step_rng, module_gate, decoder_gate
             )
             global_step += 1
+            if (args.profile_dir
+                    and global_step == args.profile_start + args.profile_steps):
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics
+                )
+                jax.profiler.stop_trace()
+                print("wrote profiler trace to", args.profile_dir)
+            timer.tick()
             window.append(metrics)
 
             if global_step % args.report_interval == 0 or global_step == 1:
@@ -328,6 +349,9 @@ def main(args=None):
                         time.time() - t_start, 1e-6
                     ),
                 }
+                scalars.update(
+                    {f"perf/{k}": v for k, v in timer.summary().items()}
+                )
                 for i, fam in enumerate(FAMILIES):
                     if counts[i]:
                         scalars[f"loss/{fam}"] = float(sums[i] / counts[i])

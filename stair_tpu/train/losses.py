@@ -35,6 +35,7 @@ from stair_tpu.data.dataset import (
     SUP_BOOL,
     SUP_CONTRAST,
     SUP_EQUALS,
+    SUP_FRAME,
 )
 from stair_tpu.ir.lowering import OP_FAMILY, Opcode
 from stair_tpu.models.modules import l2_normalize, linear
@@ -75,7 +76,30 @@ def encode_class_table(model, params, batch):
     return jax.lax.stop_gradient(reps)
 
 
-def supervision_losses(model, params, out, batch):
+def filterframe_loss(model, params, out, batch):
+    """BCE between the softmaxed [F, object_types] FilterFrame grid and the
+    normalized gold occurrence grid (ref train_module.py:141-155). Sparse:
+    only the batch's packed FilterFrame slots are scored. Excluded from
+    training by default, matching --modules-no-intermediate-train."""
+    if batch.get("ff_index") is None:
+        return jnp.float32(0.0), jnp.float32(0.0)
+    tr = batch["trace"]
+    rf = out["regs_frames"]
+    ffb = batch["ff_index"][:, 0]
+    fft = batch["ff_index"][:, 1]
+    frames_out = rf[ffb, tr["out_frames"][ffb, fft]]        # [S, F, H]
+    head = params["modules"]["heads"]["filterframe"]
+    logits = linear(head, frames_out)                       # [S, F, C]
+    pred = jax.nn.softmax(logits, axis=-1)
+    pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    gold = batch["ff_gold"]
+    bce = -(gold * jnp.log(pred) + (1.0 - gold) * jnp.log(1.0 - pred))
+    per_slot = jnp.mean(bce, axis=(1, 2))                   # [S]
+    valid = batch["ff_valid"]
+    return jnp.sum(per_slot * valid), jnp.sum(valid)
+
+
+def supervision_losses(model, params, out, batch, train_filterframe=False):
     """All intermediate losses + decoder CE.
 
     Returns (scalars dict, telemetry) where scalars contains ``module_loss``
@@ -193,6 +217,14 @@ def supervision_losses(model, params, out, batch):
     loss_sums = loss_sums.at[didx].add(jnp.sum(dec_ce))
     loss_counts = loss_counts.at[didx].add(B)
 
+    # --- FilterFrame (optional; off unless the caller adds it) -----------
+    ff_sum, ff_count = filterframe_loss(model, params, out, batch)
+    fidx = _FAMILY_INDEX["FilterFrame"]
+    loss_sums = loss_sums.at[fidx].add(ff_sum)
+    loss_counts = loss_counts.at[fidx].add(ff_count)
+    if train_filterframe:  # static flag (reference default excludes it)
+        total = total + ff_sum
+
     scalars = {
         "module_loss": total / B,
         "decoder_loss": decoder_loss,
@@ -239,10 +271,13 @@ def total_loss(
     module_gate,
     decoder_gate,
     deterministic: bool = False,
+    train_filterframe: bool = False,
 ):
     """Full training objective; returns (loss, aux)."""
     out = model.forward(params, batch, rng=rng, deterministic=deterministic)
-    scalars, telemetry = supervision_losses(model, params, out, batch)
+    scalars, telemetry = supervision_losses(
+        model, params, out, batch, train_filterframe=train_filterframe
+    )
     loss = (
         module_loss_weight * module_gate * scalars["module_loss"]
         + decoder_loss_weight * decoder_gate * scalars["decoder_loss"]

@@ -1,0 +1,74 @@
+"""First-class profiling: XLA traces, step timing, device memory.
+
+The reference has no tracing/profiling at all (SURVEY §5: wall-clock prints
+only). Here:
+
+  * :func:`trace` — context manager around ``jax.profiler`` writing a
+    TensorBoard-loadable trace (XLA ops, fusion, HBM traffic) for a chosen
+    window of steps;
+  * :class:`StepTimer` — cheap EMA step timing with percentile summaries;
+  * :func:`device_memory_report` — per-device live-buffer stats.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture an XLA profiler trace into ``log_dir`` (view in TensorBoard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Track step wall-times; report mean/p50/p99."""
+
+    def __init__(self, window: int = 200):
+        self.window = window
+        self.times: list[float] = []
+        self._last = None
+
+    def tick(self):
+        now = time.perf_counter()
+        if self._last is not None:
+            self.times.append(now - self._last)
+            if len(self.times) > self.window:
+                del self.times[0]
+        self._last = now
+
+    def summary(self) -> dict:
+        if not self.times:
+            return {}
+        arr = np.asarray(self.times)
+        return {
+            "steps_per_sec": 1.0 / float(arr.mean()),
+            "step_ms_p50": float(np.percentile(arr, 50) * 1e3),
+            "step_ms_p99": float(np.percentile(arr, 99) * 1e3),
+        }
+
+
+def device_memory_report() -> list[dict]:
+    """Live-buffer statistics per device (empty if backend lacks support)."""
+    out = []
+    for dev in jax.devices():
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out.append({
+                "device": str(dev),
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            })
+    return out

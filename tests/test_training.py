@@ -42,6 +42,7 @@ class Args:
     scheduler_start_factor = 1.0
     scheduler_end_factor = 0.1
     scheduler_total_iters = 100
+    modules_no_intermediate_train = ["FilterFrame"]
 
 
 @pytest.fixture(scope="module")
