@@ -46,11 +46,17 @@ def dropout(x, rate, rng, deterministic):
 
 
 def cosine(x, y, axis=-1):
-    """torch.nn.CosineSimilarity semantics: per-element norm clamp."""
-    nx = jnp.sqrt(jnp.sum(x * x, axis=axis))
-    ny = jnp.sqrt(jnp.sum(y * y, axis=axis))
-    dot = jnp.sum(x * y, axis=axis)
-    return dot / jnp.maximum(nx * ny, COS_EPS)
+    """torch.nn.CosineSimilarity semantics: per-element norm clamp.
+
+    Norms accumulate in float32 regardless of input dtype (bf16 squares
+    underflow well before the clamp epsilon).
+    """
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    nx = jnp.sqrt(jnp.sum(xf * xf, axis=axis))
+    ny = jnp.sqrt(jnp.sum(yf * yf, axis=axis))
+    dot = jnp.sum(xf * yf, axis=axis)
+    return (dot / jnp.maximum(nx * ny, COS_EPS)).astype(x.dtype)
 
 
 def masked_softmax(x, mask, axis=-1):

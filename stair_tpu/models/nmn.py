@@ -46,6 +46,9 @@ class NMNConfig:
     have_pretrain_head: bool = True
     #: 'parity' reproduces the reference Filter pooling quirk; 'softmax' fixes it.
     filter_attention: str = "parity"
+    #: 'float32' for exact reference parity; 'bfloat16' runs the executor's
+    #: matmuls at MXU-native precision (losses stay fp32).
+    compute_dtype: str = "float32"
     # Trace geometry (register-file sizes + instruction count cap).
     max_steps: int = 32
     num_vec: int = 24
@@ -121,6 +124,33 @@ class VideoNMN:
 
     # -- the executor --------------------------------------------------------
 
+    def _fused_tables(self, mods):
+        """Stack the filter-family weights for gathered-index dispatch.
+
+        FILTER_V/FILTER_K/FILTERFRAME_V/FILTERFRAME_K all start with the same
+        2-layer frames MLP, differing only in which weights they use. Rather
+        than computing four full MLP paths per step and selecting one (the
+        naive compute-all cost), the executor gathers each example's weight
+        matrices by (opcode, mode) and runs ONE batched einsum — the MoE
+        dense-dispatch trick. Table rows: [filter.repr, filter.kw x3,
+        ff.repr, ff.kw x3].
+        """
+        f, ff = mods["filter"], mods["filterframe"]
+
+        def stack(repr_a, kws_a, repr_b, kws_b):
+            return jnp.concatenate([
+                repr_a[None], kws_a, repr_b[None], kws_b,
+            ])
+
+        return {
+            "w1": stack(f["repr_w1"], f["kw_w1"], ff["repr_w1"], ff["kw_w1"]),
+            "b1": stack(f["repr_b1"], f["kw_b1"], ff["repr_b1"], ff["kw_b1"]),
+            "w2": stack(f["repr_w2"], f["kw_w2"], ff["repr_w2"], ff["kw_w2"]),
+            "b2": stack(f["repr_b2"], f["kw_b2"], ff["repr_b2"], ff["kw_b2"]),
+            "dense_w": jnp.stack([f["dense"]["w"], ff["dense"]["w"]]),
+            "dense_b": jnp.stack([f["dense"]["b"], ff["dense"]["b"]]),
+        }
+
     def run_trace(
         self,
         params,
@@ -141,15 +171,24 @@ class VideoNMN:
             rng = jax.random.PRNGKey(0)
             deterministic = True
         example_rngs = jax.random.split(rng, B)
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if dt != jnp.float32:
+            mods = jax.tree_util.tree_map(lambda x: x.astype(dt), mods)
+            video_frames = video_frames.astype(dt)
+            token_features = token_features.astype(dt)
+            video_mask = video_mask.astype(dt)
+        tables = self._fused_tables(mods)
 
         # Initial register files: frames register 0 <- encoded video.
-        rv0 = jnp.zeros((B, cfg.num_vec + 1, H))
-        rf0 = jnp.zeros((B, cfg.num_frames + 1, F, H))
+        rv0 = jnp.zeros((B, cfg.num_vec + 1, H), dt)
+        rf0 = jnp.zeros((B, cfg.num_frames + 1, F, H), dt)
         rf0 = rf0.at[:, 0].set(video_frames * video_mask[:, :, None])
-        ra0 = jnp.zeros((B, cfg.num_attn + 1, F))
+        ra0 = jnp.zeros((B, cfg.num_attn + 1, F), dt)
+
+        is_parity = cfg.filter_attention == "parity"
 
         def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx):
-            """One instruction on one example."""
+            """One instruction on one example (vmapped over the batch)."""
             rv, rf, ra = regs
             op = instr["opcode"]
             srng = jax.random.fold_in(ex_rng, step_idx)
@@ -161,7 +200,7 @@ class VideoNMN:
             mode = instr["mode"]
             count = instr["count"]
 
-            # --- vec candidates -------------------------------------------
+            # --- span-mean text push --------------------------------------
             s, e = instr["span_start"], instr["span_end"]
             L = tokens.shape[0]
             pos = jnp.arange(L)
@@ -174,15 +213,87 @@ class VideoNMN:
             pair = jnp.stack([va, vb])                     # [2, H]
             pair_mask = jnp.arange(2) < count
 
-            sup_actions_v = M.superlative_module(
-                mods["superlative"], mods["localize"], mode == 1, pair, fa,
-                vmask, rate, rngs[0], deterministic, action_mask=pair_mask,
+            # --- fused filter-family MLP (gathered weights) ---------------
+            is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
+                op == int(Opcode.FILTERFRAME_K)
             )
-            sup_actions_f = M.superlative_module(
-                mods["superlative"], mods["localize"], mode == 1, fb, fa,
-                vmask, rate, rngs[1], deterministic, action_mask=vmask > 0,
+            is_kw = (op == int(Opcode.FILTER_K)) | (
+                op == int(Opcode.FILTERFRAME_K)
             )
+            midx = (
+                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0)
+            )
+            r1, r2 = rngs[5], rngs[7]
+            h = M.dropout(
+                jax.nn.relu(fa @ tables["w1"][midx] + tables["b1"][midx]),
+                rate, r1, deterministic,
+            )
+            feat = M.dropout(
+                jax.nn.relu(h @ tables["w2"][midx] + tables["b2"][midx]),
+                rate, r2, deterministic,
+            )                                              # [F, H]
+            dense_w = tables["dense_w"][is_ff.astype(jnp.int32)]
+            dense_b = tables["dense_b"][is_ff.astype(jnp.int32)]
+            # Filter pooling: parity = uniform sum over valid frames
+            # (the reference's degenerate softmax); 'softmax' = corrected.
+            if is_parity:
+                weights = vmask[:, None]
+            else:
+                fk = jnp.concatenate(
+                    [feat, jnp.broadcast_to(va[None, :], feat.shape)], axis=1
+                )
+                logits = (fk @ mods["filter"]["attn_w"]
+                          + mods["filter"]["attn_b"])[:, 0]
+                soft = M.masked_softmax(logits, vmask)[:, None]
+                weights = jnp.where(
+                    op == int(Opcode.FILTER_V), soft, vmask[:, None]
+                )
+            pooled = jnp.sum(weights * feat * vmask[:, None], axis=0)
+            filter_vec = jax.nn.relu(pooled @ dense_w + dense_b)
+            # FilterFrame: per-frame sigmoid gate (vec path) or identity.
+            ffk = jnp.concatenate(
+                [feat, jnp.broadcast_to(va[None, :], feat.shape)], axis=1
+            )
+            gate = jax.nn.sigmoid(
+                ffk @ mods["filterframe"]["attn_w"]
+                + mods["filterframe"]["attn_b"]
+            )                                              # [F, 1]
+            gate = jnp.where(op == int(Opcode.FILTERFRAME_V), gate, 1.0)
+            ff_frames = M.dropout(
+                jax.nn.relu((gate * feat) @ dense_w + dense_b),
+                rate, rngs[9], deterministic,
+            ) * vmask[:, None]
 
+            # --- shared Localize projection -------------------------------
+            # video_linear(fa) feeds LOCALIZE and both Superlative variants.
+            loc = mods["localize"]
+            vfeat = M.linear(
+                loc["v2"],
+                M.dropout(jax.nn.relu(M.linear(loc["v1"], fa)), rate,
+                          rngs[8], deterministic),
+            )                                              # [F, H]
+            kw_pair = M.linear(loc["k"], pair)             # [2, H]
+            loc_scores = (M.cosine(
+                vfeat[None, :, :], kw_pair[:, None, :]
+            ) + 1.0) * 0.49 * vmask[None, :]               # [2, F]
+
+            sup = mods["superlative"]
+
+            def superlative(scores, actions, a_mask):
+                row = jnp.sum(scores * vmask[None, :], axis=1)
+                w = M.masked_softmax(row, a_mask, axis=0)
+                w = jnp.where(mode == 1, 1.0 - w, w) * a_mask
+                pooled = jnp.sum(w[:, None] * actions, axis=0)
+                return jax.nn.relu(M.linear(sup["dense"], pooled))
+
+            sup_v = superlative(loc_scores, pair, pair_mask)
+            kw_f = M.linear(loc["k"], fb)                  # [F, H]
+            scores_f = (M.cosine(
+                vfeat[None, :, :], kw_f[:, None, :]
+            ) + 1.0) * 0.49 * vmask[None, :]               # [F, F]
+            sup_f = superlative(scores_f, fb, vmask > 0)
+
+            # --- cheap vec ops --------------------------------------------
             vec_cands = [
                 (Opcode.PUSH_TEXT, push_text),
                 (Opcode.AND_VEC, M.and_module(va, vb)),
@@ -196,16 +307,12 @@ class VideoNMN:
                     mods["toaction"], va, vb, rate, rngs[3], deterministic)),
                 (Opcode.EXISTS, M.exists_module(
                     mods["exists"], va, vb, rate, rngs[4], deterministic)),
-                (Opcode.FILTER_V, M.filter_module_vec(
-                    mods["filter"], fa, va, vmask, rate, rngs[5],
-                    deterministic, attention=cfg.filter_attention)),
-                (Opcode.FILTER_K, M.filter_module_kw(
-                    mods["filter"], fa, mode, vmask, rate, rngs[5],
-                    deterministic)),
-                (Opcode.SUPERLATIVE_V, sup_actions_v),
-                (Opcode.SUPERLATIVE_F, sup_actions_f),
+                (Opcode.FILTER_V, filter_vec),
+                (Opcode.FILTER_K, filter_vec),
+                (Opcode.SUPERLATIVE_V, sup_v),
+                (Opcode.SUPERLATIVE_F, sup_f),
             ]
-            new_vec = _select(op, vec_cands, jnp.zeros((H,)))
+            new_vec = _select(op, vec_cands, jnp.zeros((H,), dt))
 
             # --- frames candidates ----------------------------------------
             attn_mean = jnp.where(count == 2, (aa + ab) / 2.0, aa)
@@ -216,20 +323,12 @@ class VideoNMN:
             frames_cands = [
                 (Opcode.TEMPORAL, temporal_out),
                 (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
-                (Opcode.FILTERFRAME_V, M.filterframe_module_vec(
-                    mods["filterframe"], fa, va, vmask, rate, rngs[7],
-                    deterministic)),
-                (Opcode.FILTERFRAME_K, M.filterframe_module_kw(
-                    mods["filterframe"], fa, mode, vmask, rate, rngs[7],
-                    deterministic)),
+                (Opcode.FILTERFRAME_V, ff_frames),
+                (Opcode.FILTERFRAME_K, ff_frames),
             ]
-            new_frames = _select(op, frames_cands, jnp.zeros((F, H)))
+            new_frames = _select(op, frames_cands, jnp.zeros((F, H), dt))
 
             # --- attn candidates ------------------------------------------
-            loc_scores = M.localize_scores(
-                mods["localize"], fa, pair, vmask, rate, rngs[8],
-                deterministic,
-            )                                               # [2, F]
             attn_cands = [
                 (Opcode.AND_ATTN, M.and_module(aa, ab)),
                 (Opcode.XORFRAME, M.xorframe_module(aa, ab)),
@@ -240,17 +339,17 @@ class VideoNMN:
                 (Opcode.RELATE, M.relate_module(
                     mods["relate"], mode == 1, aa, vmask)),
             ]
-            new_attn = _select(op, attn_cands, jnp.zeros((F,)))
+            new_attn = _select(op, attn_cands, jnp.zeros((F,), dt))
             attn_b_cands = [
                 (Opcode.LOCALIZE, loc_scores[1]),
                 (Opcode.TEMPORAL, temporal_rel),
             ]
-            new_attn_b = _select(op, attn_b_cands, jnp.zeros((F,)))
+            new_attn_b = _select(op, attn_b_cands, jnp.zeros((F,), dt))
 
-            rv = rv.at[instr["out_vec"]].set(new_vec)
-            rf = rf.at[instr["out_frames"]].set(new_frames)
-            ra = ra.at[instr["out_attn"]].set(new_attn)
-            ra = ra.at[instr["out_attn_b"]].set(new_attn_b)
+            rv = rv.at[instr["out_vec"]].set(new_vec.astype(dt))
+            rf = rf.at[instr["out_frames"]].set(new_frames.astype(dt))
+            ra = ra.at[instr["out_attn"]].set(new_attn.astype(dt))
+            ra = ra.at[instr["out_attn_b"]].set(new_attn_b.astype(dt))
             return rv, rf, ra
 
         batched_step = jax.vmap(
@@ -273,6 +372,8 @@ class VideoNMN:
         (rv, rf, ra), _ = jax.lax.scan(
             scan_body, (rv0, rf0, ra0), (scanned_fields, jnp.arange(T))
         )
+        if dt != jnp.float32:
+            rv, rf, ra = (x.astype(jnp.float32) for x in (rv, rf, ra))
         return rv, rf, ra
 
     # -- full forward --------------------------------------------------------

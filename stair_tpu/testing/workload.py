@@ -106,7 +106,7 @@ def add_fake_supervision(batch, cfg: NMNConfig, text_size=None, seed=0):
         "class_valid": np.ones((C,), np.float32),
         "sup_class": rng.randint(-1, C, (B, T, P)).astype(np.int32),
         "ff_index": np.zeros((2, 2), np.int32),
-        "ff_gold": np.zeros((2, F, 8), np.float32),
+        "ff_gold": np.zeros((2, F, cfg.object_types), np.float32),
         "ff_valid": np.zeros((2,), np.float32),
     })
     return batch
