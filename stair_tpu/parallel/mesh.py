@@ -65,11 +65,66 @@ def param_sharding(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def llm_param_sharding(params, mesh: Mesh):
+    """Megatron-style sharding for the decoder-only LLM family.
+
+    Per layer: q/k/v and up/gate projections shard their output axis over
+    ``tp`` (head-parallel / ffn-parallel); o and down projections shard the
+    input axis, so each layer needs exactly one all-reduce per sublayer
+    (inserted by GSPMD). Embedding/vocab shard over tp when divisible;
+    norms and biases replicate. The ``dp`` axis is used for batch sharding
+    only.
+    """
+    rep = replicated(mesh)
+    tp = mesh.shape["tp"]
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+
+        def ok(axis):
+            return leaf.ndim >= 1 and leaf.shape[axis] % tp == 0
+
+        if "layers" in names and "w" in names:
+            if any(n in names for n in ("q", "k", "v", "up", "gate")):
+                if ok(1):
+                    return NamedSharding(mesh, P(None, "tp"))
+            if any(n in names for n in ("o", "down")):
+                if ok(0):
+                    return NamedSharding(mesh, P("tp", None))
+        if names[-1:] == ["embed"] or "lm_head" in names:
+            if leaf.ndim == 2 and leaf.shape[-1] % tp == 0 and "embed" not in names:
+                return NamedSharding(mesh, P(None, "tp"))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+#: Batch-dict keys whose leading axis is NOT the example axis (shared
+#: tables / sparse slot arrays) — replicated rather than dp-sharded.
+REPLICATED_BATCH_KEYS = frozenset({
+    "class_emb", "class_emb_mask", "class_valid",
+    "ff_index", "ff_gold", "ff_valid",
+})
+
+
 def shard_batch(batch_dict: dict, mesh: Mesh) -> dict:
-    """Device-put a batch dict with dp sharding on the leading axis."""
+    """Device-put a batch dict: example-axis arrays shard over dp, shared
+    tables replicate."""
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    dp = mesh.shape["dp"]
 
-    def put(x):
-        return jax.device_put(x, sh)
+    def put(key, x):
+        if key in REPLICATED_BATCH_KEYS:
+            return jax.device_put(x, rep)
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(put, batch_dict)
+    out = {}
+    for key, val in batch_dict.items():
+        if isinstance(val, dict):
+            out[key] = {k: put(k, v) for k, v in val.items()}
+        else:
+            out[key] = put(key, val)
+    return out
