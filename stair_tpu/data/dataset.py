@@ -221,9 +221,12 @@ class AGQADataset:
         more_steps: int | None = None,
         debug: bool = False,
         seed: int = 0,
+        shuffle_video: bool = False,
+        use_prog_word_embeddings: bool = False,
     ):
         self.split = split
         self.max_video_length = max_video_length
+        self.use_prog_word_embeddings = use_prog_word_embeddings
         filename = {
             "train": paths.train_filename,
             "valid": paths.valid_filename,
@@ -267,6 +270,15 @@ class AGQADataset:
         self.video_feats = load_video_features(
             paths.rgb_path, paths.flow_path, used, max_video_length, str2num
         )
+        if shuffle_video:
+            # Ablation: permute which video each question sees
+            # (ref dataset.py:103-110).
+            ids = sorted(used)
+            perm = list(ids)
+            random.Random(seed).shuffle(perm)
+            mapping = dict(zip(ids, perm))
+            for rec in records:
+                rec["video_id"] = mapping[rec["video_id"]]
         self.video_size = next(iter(self.video_feats.values())).shape[-1]
         from stair_tpu.runtime.loader import FeatureArena
 
@@ -293,6 +305,7 @@ class AGQADataset:
                     rec["nmn_program"],
                     rec.get("nmn_program_idx"),
                     rec.get("nmn_program_span_by_word") or {},
+                    aux_text_for_missing_spans=use_prog_word_embeddings,
                 )
             except Exception as err:  # unloadable program: keep but mark
                 self.drop_reasons[type(err).__name__] = (
@@ -341,10 +354,12 @@ class STARDataset(AGQADataset):
     """
 
     def __init__(self, paths, split, max_video_length=150,
-                 num_candidates=4, debug=False, seed=0, **_):
+                 num_candidates=4, debug=False, seed=0,
+                 use_prog_word_embeddings=False, **_):
         self.split = split
         self.max_video_length = max_video_length
         self.num_candidates = num_candidates
+        self.use_prog_word_embeddings = use_prog_word_embeddings
         filename = {"train": paths.train_filename,
                     "valid": paths.valid_filename,
                     "test": paths.test_filename}[split]
@@ -386,6 +401,7 @@ class STARDataset(AGQADataset):
                 tr = lower_program(
                     rec["nmn_program"], rec.get("nmn_program_idx"),
                     rec.get("nmn_program_span_by_word") or {},
+                    aux_text_for_missing_spans=use_prog_word_embeddings,
                 )
             except Exception as err:
                 self.drop_reasons[type(err).__name__] = (
@@ -421,9 +437,11 @@ class MSRVTTDataset(AGQADataset):
     'video' field; answers map to a frequency-capped vocabulary."""
 
     def __init__(self, paths, split, max_video_length=150,
-                 max_vocab_length=1000, debug=False, seed=0, **_):
+                 max_vocab_length=1000, debug=False, seed=0,
+                 use_prog_word_embeddings=False, **_):
         self.split = split
         self.max_video_length = max_video_length
+        self.use_prog_word_embeddings = use_prog_word_embeddings
         filename = {"train": paths.train_filename,
                     "valid": paths.valid_filename,
                     "test": paths.test_filename}[split]
@@ -564,6 +582,9 @@ class Batch:
     ff_index: np.ndarray = None   # [Sff, 2] (example, step)
     ff_gold: np.ndarray = None    # [Sff, F, object_types]
     ff_valid: np.ndarray = None   # [Sff]
+    # --use-prog-word-embeddings: program-token text for spanless args
+    aux_emb: np.ndarray = None    # [B, T, La, text]
+    aux_mask: np.ndarray = None   # [B, T, La]
 
 
 class Batcher:
@@ -651,6 +672,19 @@ class Batcher:
             )
 
         tb = pad_traces(traces, T, NV, NF, NA)
+        aux_emb = aux_mask = None
+        if getattr(ds, "use_prog_word_embeddings", False):
+            La = self.max_class_len
+            aux_emb = np.zeros((B, T, La, text_dim), np.float32)
+            aux_mask = np.zeros((B, T, La), np.float32)
+            for b, tr in enumerate(traces):
+                for t, ins in enumerate(tr.instrs):
+                    if ins.span_start == -2 and 0 <= ins.token_pos < len(tr.tokens):
+                        text = tr.tokens[ins.token_pos].replace(
+                            "_", " ").replace("/", " ")
+                        e = ds.embeddings.embed_sentence(text)[:La]
+                        aux_emb[b, t, : len(e)] = e
+                        aux_mask[b, t, : len(e)] = 1.0
         cand_emb = cand_mask = cand_valid = None
         if hasattr(ds, "candidates"):
             C, Lc = ds.num_candidates, self.max_class_len
@@ -694,6 +728,7 @@ class Batcher:
                 np.float32,
             ),
             ff_valid=np.zeros((self.max_filterframe,), np.float32),
+            aux_emb=aux_emb, aux_mask=aux_mask,
         )
         self._pack_supervision(batch, recs, traces)
         return batch

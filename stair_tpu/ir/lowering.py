@@ -156,6 +156,7 @@ def lower_program(
     tokens: list[str],
     source_index: list[int | None] | None = None,
     span_by_word: dict | None = None,
+    aux_text_for_missing_spans: bool = False,
 ) -> Trace:
     """Lower a rewritten program (prefix token list) to a Trace.
 
@@ -163,7 +164,10 @@ def lower_program(
     free-text arguments; a missing/None span lowers to (-1, -1), which the
     executor interprets as "mean over the whole question" (matching the
     reference's ``token_feature[None:None]`` full-slice behavior,
-    module_net.py:127-129).
+    module_net.py:127-129). With ``aux_text_for_missing_spans`` (the
+    --use-prog-word-embeddings path) a missing span lowers to (-2, -2):
+    the executor substitutes a text encoding of the program token itself
+    (packed per batch as an auxiliary embedding table).
     """
     if source_index is None:
         source_index = [None] * len(tokens)
@@ -212,7 +216,8 @@ def lower_program(
             else:
                 out = alloc(next_vec)
                 span = span_by_word.get(pos, (None, None))
-                s, e = (span if span and None not in span else (-1, -1))
+                missing = (-2, -2) if aux_text_for_missing_spans else (-1, -1)
+                s, e = (span if span and None not in span else missing)
                 emit(Instr(Opcode.PUSH_TEXT, span_start=s, span_end=e,
                            out_vec=out, src=src, token_pos=pos))
                 stack.append(_Val(Kind.VEC, (out,)))

@@ -161,6 +161,7 @@ class VideoNMN:
         token_mask,       # [B, L]
         rng=None,
         deterministic: bool = True,
+        aux_vec=None,     # [B, T, H] text encodings for spanless args
     ):
         """Execute all programs; returns the final register files."""
         cfg = self.config
@@ -187,7 +188,8 @@ class VideoNMN:
 
         is_parity = cfg.filter_attention == "parity"
 
-        def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx):
+        def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx,
+                     aux):
             """One instruction on one example (vmapped over the batch)."""
             rv, rf, ra = regs
             op = instr["opcode"]
@@ -209,6 +211,8 @@ class VideoNMN:
                 s < 0, valid, (pos >= s) & (pos < e) & valid
             ).astype(tokens.dtype)
             push_text = (span_w @ tokens) / jnp.maximum(jnp.sum(span_w), 1.0)
+            # -2 marks --use-prog-word-embeddings substitution.
+            push_text = jnp.where(s == -2, aux, push_text)
 
             pair = jnp.stack([va, vb])                     # [2, H]
             pair_mask = jnp.arange(2) < count
@@ -354,14 +358,14 @@ class VideoNMN:
 
         batched_step = jax.vmap(
             step_one,
-            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None),
+            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0),
         )
 
         def scan_body(regs, scanned):
-            instr_t, t = scanned
+            instr_t, t, aux_t = scanned
             new_regs = batched_step(
                 regs, instr_t, video_mask, token_features, token_mask,
-                example_rngs, t,
+                example_rngs, t, aux_t,
             )
             return new_regs, None
 
@@ -369,8 +373,13 @@ class VideoNMN:
         scanned_fields = jax.tree_util.tree_map(
             lambda a: jnp.moveaxis(a, 1, 0), trace_fields
         )  # [T, B]
+        if aux_vec is None:
+            aux_scanned = jnp.zeros((T, B, H), dt)
+        else:
+            aux_scanned = jnp.moveaxis(aux_vec.astype(dt), 1, 0)
         (rv, rf, ra), _ = jax.lax.scan(
-            scan_body, (rv0, rf0, ra0), (scanned_fields, jnp.arange(T))
+            scan_body, (rv0, rf0, ra0),
+            ((scanned_fields, jnp.arange(T), aux_scanned)),
         )
         if dt != jnp.float32:
             rv, rf, ra = (x.astype(jnp.float32) for x in (rv, rf, ra))
@@ -399,6 +408,14 @@ class VideoNMN:
         token_features, question_feature = self.encode_question(
             params, batch["question"], batch["question_mask"]
         )
+        aux_vec = None
+        if batch.get("aux_emb") is not None:
+            ae = batch["aux_emb"]
+            B_, T_, La, td = ae.shape
+            aux_vec = self.encode_sentences(
+                params, ae.reshape(B_ * T_, La, td),
+                batch["aux_mask"].reshape(B_ * T_, La),
+            ).reshape(B_, T_, -1)
         rv, rf, ra = self.run_trace(
             params,
             batch["trace"],
@@ -408,6 +425,7 @@ class VideoNMN:
             batch["question_mask"],
             rng=r_exec,
             deterministic=deterministic,
+            aux_vec=aux_vec,
         )
 
         B = rv.shape[0]

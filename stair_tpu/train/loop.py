@@ -28,7 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from stair_tpu.data.dataset import AGQADataset, Batcher, DataPaths
+from stair_tpu.data.dataset import (
+    AGQADataset,
+    Batcher,
+    DataPaths,
+    MSRVTTDataset,
+    STARDataset,
+)
 from stair_tpu.models.nmn import NMNConfig, VideoNMN
 from stair_tpu.parallel.mesh import make_mesh, param_sharding, shard_batch
 from stair_tpu.train import checkpoint as ckpt
@@ -56,7 +62,24 @@ def data_paths(args) -> DataPaths:
     )
 
 
+DATASET_CLASSES = {
+    "AGQA": AGQADataset, "STAR": STARDataset, "MSRVTT": MSRVTTDataset,
+}
+
+
 def batch_to_device_dict(batch) -> dict:
+    d = _base_device_dict(batch)
+    if batch.aux_emb is not None:
+        d["aux_emb"] = batch.aux_emb
+        d["aux_mask"] = batch.aux_mask
+    if batch.cand_emb is not None:
+        d["cand_emb"] = batch.cand_emb
+        d["cand_mask"] = batch.cand_mask
+        d["cand_valid"] = batch.cand_valid
+    return d
+
+
+def _base_device_dict(batch) -> dict:
     return {
         "question": batch.question,
         "question_mask": batch.question_mask,
@@ -169,7 +192,15 @@ def make_eval_step(model):
         cos_sum, cos_count = eval_contrastive_similarity(
             model, params, out, batch
         )
-        preds = jnp.argmax(out["logits"], axis=-1)
+        if batch.get("cand_emb") is not None:
+            from stair_tpu.models.nmn import choice_logits
+
+            preds = jnp.argmax(choice_logits(
+                model, params, out, batch["cand_emb"], batch["cand_mask"],
+                batch["cand_valid"],
+            ), axis=-1)
+        else:
+            preds = jnp.argmax(out["logits"], axis=-1)
         return {
             "preds": preds,
             "loss_sums": telemetry["loss_sums"],
@@ -185,7 +216,7 @@ def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
     """Accuracy (gold <UNK> counts as wrong, ref train_module.py:253) +
     per-family mean losses; contrastive families report cont-valid cosine."""
     ds = batcher.ds
-    unk = ds.answer_vocab["word2id"]["<UNK>"]
+    unk = ds.answer_vocab["word2id"].get("<UNK>", -1)
     correct = total = 0
     sums = np.zeros((len(FAMILIES),))
     counts = np.zeros((len(FAMILIES),))
@@ -206,8 +237,8 @@ def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
         cos_sum += float(res["cos_sum"])
         cos_count += float(res["cos_count"])
         id2w = ds.answer_vocab["id2word"]
-        preds_golds["preds"].extend(id2w[int(p)] for p in preds)
-        preds_golds["golds"].extend(id2w[int(g)] for g in golds)
+        preds_golds["preds"].extend(id2w.get(int(p), int(p)) for p in preds)
+        preds_golds["golds"].extend(id2w.get(int(g), int(g)) for g in golds)
         preds_golds["qa_ids"].extend(batch.qa_ids[:real])
     family_means = {
         fam: (sums[i] / counts[i]) if counts[i] else float("inf")
@@ -249,14 +280,18 @@ def main(args=None):
         args = get_args()
     print(args)
     paths = data_paths(args)
-    train_ds = AGQADataset(
+    ds_cls = DATASET_CLASSES[args.dataset]
+    train_ds = ds_cls(
         paths, "train", max_video_length=args.max_video_length,
         novel_comp=args.novel_comp, more_steps=args.more_steps,
         debug=args.debug, seed=args.rand_seed,
+        shuffle_video=bool(args.shuffle_video),
+        use_prog_word_embeddings=args.use_prog_word_embeddings,
     )
-    valid_ds = train_ds if args.debug else AGQADataset(
+    valid_ds = train_ds if args.debug else ds_cls(
         paths, "valid", max_video_length=args.max_video_length,
         novel_comp=args.novel_comp, more_steps=args.more_steps,
+        use_prog_word_embeddings=args.use_prog_word_embeddings,
     )
     print(f"train={len(train_ds)} valid={len(valid_ds)} "
           f"dropped={train_ds.drop_reasons}")

@@ -273,14 +273,33 @@ def total_loss(
     deterministic: bool = False,
     train_filterframe: bool = False,
 ):
-    """Full training objective; returns (loss, aux)."""
+    """Full training objective; returns (loss, aux).
+
+    When the batch carries multiple-choice candidates (STAR), the answer
+    objective is CE over the choice head instead of the vocab decoder.
+    """
     out = model.forward(params, batch, rng=rng, deterministic=deterministic)
     scalars, telemetry = supervision_losses(
         model, params, out, batch, train_filterframe=train_filterframe
     )
+    answer_loss = scalars["decoder_loss"]
+    if batch.get("cand_emb") is not None:
+        from stair_tpu.models.nmn import choice_logits
+
+        logits = choice_logits(
+            model, params, out, batch["cand_emb"], batch["cand_mask"],
+            batch["cand_valid"],
+        )
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(
+            logits, batch["answer"][:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        answer_loss = jnp.mean(lse - picked)
+        scalars = dict(scalars, decoder_loss=answer_loss)
+        out = dict(out, choice_logits=logits)
     loss = (
         module_loss_weight * module_gate * scalars["module_loss"]
-        + decoder_loss_weight * decoder_gate * scalars["decoder_loss"]
+        + decoder_loss_weight * decoder_gate * answer_loss
     )
     aux = {"out": out, "scalars": scalars, "telemetry": telemetry}
     return loss, aux

@@ -46,7 +46,10 @@ def star_world(tmp_path):
     _write_features(str(tmp_path / "feats"), vids)
     records = []
     for i in range(9):
-        rec = _base_record("Interaction_T1_%d" % i, vids[i % 3])
+        rec = _base_record(
+            "Interaction_T1_%d" % i, vids[i % 3],
+            program=("Exists", "dish", "Filter", "video", "objects"),
+        )
         rec["choices"] = [
             {"choice_id": j, "choice": "answer %d" % j} for j in range(4)
         ]
@@ -179,3 +182,44 @@ def test_reformat_agqa(tmp_path):
         "Possible useful information in video: objects dish."
     )
     assert by_id["q1"]["question"] == "what happened ?"
+
+
+def test_aux_prog_word_embeddings(star_world):
+    """--use-prog-word-embeddings: spanless text args get own-token
+    encodings instead of the whole-question mean."""
+    ds = STARDataset(star_world, "train", max_video_length=24,
+                     use_prog_word_embeddings=True)
+    # Records here carry no spans, so every text push lowers to -2.
+    tr = next(t for t in ds.traces if t is not None)
+    spans = [i.span_start for i in tr.instrs if i.opcode == 1]
+    assert all(s == -2 for s in spans) or not spans
+
+    T, NV, NF, NA = ds.trace_geometry()
+    batcher = Batcher(ds, batch_size=4, max_steps=T, num_vec=NV,
+                      num_frames=NF, num_attn=NA)
+    batch = next(batcher.epoch(shuffle=False))
+    assert batch.aux_emb is not None
+
+    cfg = NMNConfig(
+        hidden_size=32, video_size=ds.video_size,
+        text_size=ds.embeddings.dim, answer_vocab_length=4,
+        max_video_length=24, object_types=1, have_pretrain_head=False,
+        max_steps=T, num_vec=NV, num_frames=NF, num_attn=NA,
+    )
+    model = VideoNMN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    bdict = {
+        "question": batch.question, "question_mask": batch.question_mask,
+        "video": batch.video, "video_mask": batch.video_mask,
+        "trace": batch.trace, "root_reg": batch.root_reg,
+        "root_is_vec": batch.root_is_vec,
+        "aux_emb": batch.aux_emb, "aux_mask": batch.aux_mask,
+    }
+    out_aux = model.forward(params, bdict)
+    bdict2 = dict(bdict)
+    del bdict2["aux_emb"], bdict2["aux_mask"]
+    out_plain = model.forward(params, bdict2)
+    # The aux path must change the computation for spanless programs.
+    assert not np.allclose(
+        np.asarray(out_aux["logits"]), np.asarray(out_plain["logits"])
+    )
