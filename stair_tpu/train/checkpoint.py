@@ -42,9 +42,34 @@ def load_config(ckpt_dir) -> dict:
 
 
 def load_params(ckpt_dir, template):
-    """Load params into the structure of ``template``."""
+    """Load params into the structure of ``template``.
+
+    Tolerant to model evolution: leaves present in both are restored
+    (shapes must match); leaves only in the template keep their fresh
+    initialization; leaves only in the checkpoint are ignored. Both cases
+    are reported.
+    """
+    from flax import traverse_util
+
     with open(os.path.join(ckpt_dir, "params.msgpack"), "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    flat_t = traverse_util.flatten_dict(
+        serialization.to_state_dict(template), sep="/"
+    )
+    flat_r = traverse_util.flatten_dict(raw, sep="/")
+    missing = sorted(set(flat_t) - set(flat_r))
+    extra = sorted(set(flat_r) - set(flat_t))
+    if missing:
+        print(f"checkpoint missing {len(missing)} leaves "
+              f"(kept fresh init): {missing[:4]}...")
+    if extra:
+        print(f"checkpoint has {len(extra)} unused leaves: {extra[:4]}...")
+    merged = {
+        k: flat_r.get(k, v) for k, v in flat_t.items()
+    }
+    return serialization.from_state_dict(
+        template, traverse_util.unflatten_dict(merged, sep="/")
+    )
 
 
 def load_opt_state(ckpt_dir, template):
