@@ -173,6 +173,74 @@ def upgrade_records(
     return out
 
 
+def merge_json_records(
+    src_data_filename: str,
+    generated: dict,
+    dataset: str = "STAR",
+) -> list[dict]:
+    """Attach parser-generated programs to STAR/MSRVTT/NEXTQA questions.
+
+    ref: utils/agqa_lite.py:233-297 — questions whose parser output is
+    invalid keep an empty program (datasets drop them for train/valid).
+    """
+    wanted = {
+        "STAR": ["question_id", "question", "answer", "choices", "video_id",
+                 "start", "end"],
+        "MSRVTT": ["question_id", "question", "answer", "video",
+                   "answer_type"],
+        "NEXTQA": ["question_id", "question", "answer", "choices",
+                   "video_id"],
+    }[dataset]
+
+    if dataset == "NEXTQA":
+        df = pd.read_csv(src_data_filename)
+        src = [
+            {
+                "video_id": str(row["video"]),
+                "question": row["question"],
+                "answer": row["answer"],
+                "question_id": str(idx),
+                "choices": [{"choice": row["a%d" % i]} for i in range(5)],
+            }
+            for idx, row in df.iterrows()
+        ]
+    else:
+        with open(src_data_filename) as f:
+            src = json.load(f)
+
+    out = []
+    stats = {"no_program": 0, "no_span": 0, "spans": 0}
+    for example in src:
+        rec = {k: example[k] for k in wanted if k in example}
+        if dataset == "STAR":
+            rec["question"] = rec["question"].replace("/", " ")
+            rec["choices"] = [
+                {"choice_id": c.get("choice_id", i),
+                 "choice": c["choice"].replace("/", " ")}
+                for i, c in enumerate(rec.get("choices", []))
+            ]
+            if "answer" in rec and isinstance(rec["answer"], str):
+                rec["answer"] = rec["answer"].replace("/", " ")
+        program = generated.get(rec["question_id"])
+        if program is None:
+            stats["no_program"] += 1
+            rec["nmn_program"] = []
+            rec["nmn_program_span_by_word"] = None
+            rec["nmn_program_span_by_char"] = None
+        else:
+            rec["nmn_program"] = program
+            by_word, by_char = link_program_spans(program, rec["question"])
+            rec["nmn_program_span_by_word"] = by_word
+            rec["nmn_program_span_by_char"] = by_char
+            stats["spans"] += len(by_word)
+            stats["no_span"] += sum(
+                1 for v in by_word.values() if None in v
+            )
+        out.append(rec)
+    print("merge stats:", stats)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -217,6 +285,14 @@ def _cli_upgrade(args: argparse.Namespace) -> None:
         generated = load_generated_programs_fairseq(args.generated_filename)
     else:
         generated = load_generated_programs_tsv(args.generated_filename)
+    if args.dataset in ("STAR", "MSRVTT", "NEXTQA"):
+        merged = merge_json_records(
+            args.src_data_filename, generated, args.dataset
+        )
+        with open(args.dest_data_filename, "wb") as f:
+            pickle.dump(merged, f)
+        print("wrote %d merged records" % len(merged))
+        return
     with open(args.src_data_filename, "rb") as f:
         records = pickle.load(f)
     upgraded = upgrade_records(records, generated)

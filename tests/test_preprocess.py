@@ -103,3 +103,27 @@ def test_fairseq_format_loader(tmp_path):
     programs = preprocess.load_generated_programs_fairseq(str(out))
     assert programs[3] == ["Filter", "video", "actions"]
     assert programs[7] is None  # flushed as invalid when S-9 started
+
+
+def test_merge_json_records_star(tmp_path):
+    src = [
+        {"question_id": "Interaction_T1_0", "question": "what did they do/use ?",
+         "answer": "a book/a cup",
+         "choices": [{"choice_id": 0, "choice": "a book/a cup"},
+                     {"choice_id": 1, "choice": "a dish"}],
+         "video_id": "V1", "start": 1.0, "end": 5.0},
+        {"question_id": "Interaction_T1_1", "question": "what happened ?",
+         "answer": "a dish", "choices": [], "video_id": "V2"},
+    ]
+    fn = tmp_path / "star.json"
+    with open(fn, "w") as f:
+        json.dump(src, f)
+    generated = {
+        "Interaction_T1_0": ["Filter", "video", "actions"],
+    }
+    out = preprocess.merge_json_records(str(fn), generated, "STAR")
+    assert out[0]["nmn_program"] == ["Filter", "video", "actions"]
+    assert out[0]["question"] == "what did they do use ?"
+    assert out[0]["answer"] == "a book a cup"
+    assert out[1]["nmn_program"] == []
+    assert out[1]["nmn_program_span_by_word"] is None
