@@ -135,6 +135,11 @@ class Instr:
     supervised: bool = False
 
 
+#: Scratch-slot sentinel inside cached field matrices, resolved to the
+#: configured register-file scratch index at pack time.
+_SCRATCH = -1
+
+
 @dataclass
 class Trace:
     """One lowered program."""
@@ -146,6 +151,32 @@ class Trace:
     root_kind: Kind
     root_reg: int
     tokens: list[str] = field(default_factory=list)
+    _matrix: "np.ndarray | None" = None
+
+    def field_matrix(self) -> "np.ndarray":
+        """[T, len(_INT_FIELDS)] int32, cached; unused outputs = _SCRATCH.
+
+        Built once per trace so batch packing is row copies, not per-field
+        attribute walks.
+        """
+        if self._matrix is not None:
+            return self._matrix
+        mat = np.zeros((len(self.instrs), len(_INT_FIELDS)), np.int32)
+        for t, ins in enumerate(self.instrs):
+            op = ins.opcode
+            for i, name in enumerate(_INT_FIELDS):
+                mat[t, i] = getattr(ins, name)
+            if op not in _VEC_PRODUCERS:
+                mat[t, _F_OUT_VEC] = _SCRATCH
+            if op not in _FRAMES_PRODUCERS:
+                mat[t, _F_OUT_FRAMES] = _SCRATCH
+            if op not in _ATTN_PRODUCERS:
+                mat[t, _F_OUT_ATTN] = _SCRATCH
+            if not ((op is Opcode.LOCALIZE and ins.count == 2)
+                    or op is Opcode.TEMPORAL):
+                mat[t, _F_OUT_ATTN_B] = _SCRATCH
+        self._matrix = mat
+        return mat
 
 
 class LoweringError(ValueError):
@@ -408,6 +439,28 @@ _INT_FIELDS = (
     "span_start", "span_end", "out_vec", "out_frames", "out_attn",
     "out_attn_b", "src",
 )
+_F_OUT_VEC = _INT_FIELDS.index("out_vec")
+_F_OUT_FRAMES = _INT_FIELDS.index("out_frames")
+_F_OUT_ATTN = _INT_FIELDS.index("out_attn")
+_F_OUT_ATTN_B = _INT_FIELDS.index("out_attn_b")
+_F_SPAN_START = _INT_FIELDS.index("span_start")
+_F_SPAN_END = _INT_FIELDS.index("span_end")
+_F_SRC = _INT_FIELDS.index("src")
+
+_VEC_PRODUCERS = frozenset({
+    Opcode.PUSH_TEXT, Opcode.AND_VEC, Opcode.COMPARE, Opcode.EQUALS,
+    Opcode.CHOOSE, Opcode.XOR, Opcode.QUERY, Opcode.TOACTION,
+    Opcode.EXISTS, Opcode.FILTER_V, Opcode.FILTER_K,
+    Opcode.SUPERLATIVE_V, Opcode.SUPERLATIVE_F,
+})
+_FRAMES_PRODUCERS = frozenset({
+    Opcode.TEMPORAL, Opcode.ATTNVIDEO, Opcode.FILTERFRAME_V,
+    Opcode.FILTERFRAME_K,
+})
+_ATTN_PRODUCERS = frozenset({
+    Opcode.AND_ATTN, Opcode.XORFRAME, Opcode.HASITEM,
+    Opcode.EXISTSFRAME, Opcode.LOCALIZE, Opcode.RELATE,
+})
 
 
 @dataclass
@@ -449,19 +502,30 @@ def pad_traces(
     and from outputs an op does not produce.
     """
     B = len(traces)
-    fields = {
-        name: np.zeros((B, max_steps), dtype=np.int32) for name in _INT_FIELDS
-    }
+    stacked = np.zeros((B, max_steps, len(_INT_FIELDS)), np.int32)
+    # Padding-row defaults: NOPs writing to scratch, inert spans/src.
+    stacked[:, :, _F_OUT_VEC] = num_vec
+    stacked[:, :, _F_OUT_FRAMES] = num_frames
+    stacked[:, :, _F_OUT_ATTN] = num_attn
+    stacked[:, :, _F_OUT_ATTN_B] = num_attn
+    stacked[:, :, _F_SPAN_START] = -1
+    stacked[:, :, _F_SPAN_END] = -1
+    stacked[:, :, _F_SRC] = -1
     step_mask = np.zeros((B, max_steps), dtype=bool)
     supervised = np.zeros((B, max_steps), dtype=bool)
     root_is_vec = np.zeros((B,), dtype=bool)
     root_reg = np.zeros((B,), dtype=np.int32)
     num_steps = np.zeros((B,), dtype=np.int32)
 
+    scratch = (
+        (_F_OUT_VEC, num_vec), (_F_OUT_FRAMES, num_frames),
+        (_F_OUT_ATTN, num_attn), (_F_OUT_ATTN_B, num_attn),
+    )
     for b, tr in enumerate(traces):
-        if len(tr.instrs) > max_steps:
+        T = len(tr.instrs)
+        if T > max_steps:
             raise LoweringError(
-                f"trace has {len(tr.instrs)} steps > max_steps={max_steps}"
+                f"trace has {T} steps > max_steps={max_steps}"
             )
         if tr.num_vec > num_vec or tr.num_frames > num_frames or tr.num_attn > num_attn:
             raise LoweringError(
@@ -470,50 +534,20 @@ def pad_traces(
             )
         root_is_vec[b] = tr.root_kind is Kind.VEC
         root_reg[b] = tr.root_reg
-        num_steps[b] = len(tr.instrs)
+        num_steps[b] = T
+        rows = stacked[b, :T]
+        rows[:] = tr.field_matrix()
+        for col, idx in scratch:
+            c = rows[:, col]
+            c[c == _SCRATCH] = idx
+        step_mask[b, :T] = True
         for t, ins in enumerate(tr.instrs):
-            step_mask[b, t] = True
             supervised[b, t] = ins.supervised
-            for name in _INT_FIELDS:
-                fields[name][b, t] = getattr(ins, name)
-            op = ins.opcode
-            # Route unused outputs (and all NOP outputs) to scratch slots.
-            produces_vec = op in (
-                Opcode.PUSH_TEXT, Opcode.AND_VEC, Opcode.COMPARE, Opcode.EQUALS,
-                Opcode.CHOOSE, Opcode.XOR, Opcode.QUERY, Opcode.TOACTION,
-                Opcode.EXISTS, Opcode.FILTER_V, Opcode.FILTER_K,
-                Opcode.SUPERLATIVE_V, Opcode.SUPERLATIVE_F,
-            )
-            if not produces_vec:
-                fields["out_vec"][b, t] = num_vec
-            produces_frames = op in (
-                Opcode.TEMPORAL, Opcode.ATTNVIDEO, Opcode.FILTERFRAME_V,
-                Opcode.FILTERFRAME_K,
-            )
-            if not produces_frames:
-                fields["out_frames"][b, t] = num_frames
-            produces_attn = op in (
-                Opcode.AND_ATTN, Opcode.XORFRAME, Opcode.HASITEM,
-                Opcode.EXISTSFRAME, Opcode.LOCALIZE, Opcode.RELATE,
-            )
-            if not produces_attn:
-                fields["out_attn"][b, t] = num_attn
-            produces_attn_b = (
-                (op is Opcode.LOCALIZE and ins.count == 2)
-                or op is Opcode.TEMPORAL
-            )
-            if not produces_attn_b:
-                fields["out_attn_b"][b, t] = num_attn
-        # Padding steps: NOP writing to scratch everywhere.
-        for t in range(len(tr.instrs), max_steps):
-            fields["out_vec"][b, t] = num_vec
-            fields["out_frames"][b, t] = num_frames
-            fields["out_attn"][b, t] = num_attn
-            fields["out_attn_b"][b, t] = num_attn
-            fields["span_start"][b, t] = -1
-            fields["span_end"][b, t] = -1
-            fields["src"][b, t] = -1
 
+    fields = {
+        name: np.ascontiguousarray(stacked[:, :, i])
+        for i, name in enumerate(_INT_FIELDS)
+    }
     return TraceBatch(
         fields=fields,
         step_mask=step_mask,
