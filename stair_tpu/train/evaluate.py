@@ -58,9 +58,17 @@ def load_model(args, ds):
 
 
 def evaluate_acc(args, model, params, ds):
-    unk = ds.answer_vocab["word2id"]["<UNK>"]
+    unk = ds.answer_vocab["word2id"].get("<UNK>", -1)
     id2w = ds.answer_vocab["id2word"]
     batcher = make_batcher(args, ds, model)
+    evaluable = len(batcher.indices)
+    print(f"evaluable examples: {evaluable}/{len(ds)}"
+          + (f" (unliftable programs: {ds.drop_reasons})"
+             if ds.drop_reasons else ""))
+    if evaluable == 0:
+        print("nothing to evaluate: no example has a liftable program "
+              "(check the parser output / --generated-format)")
+        return 0.0
 
     @jax.jit
     def step(params, batch):

@@ -64,6 +64,8 @@ def data_paths(args) -> DataPaths:
 
 DATASET_CLASSES = {
     "AGQA": AGQADataset, "STAR": STARDataset, "MSRVTT": MSRVTTDataset,
+    # NEXTQA records (merge_json_records) share STAR's multiple-choice shape.
+    "NEXTQA": STARDataset,
 }
 
 
