@@ -93,8 +93,12 @@ def evaluate_acc(args, model, params, ds):
     if args.result_filename:
         out = os.path.join(args.output or ".", args.result_filename)
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        payload = (
+            star_format_test_output(preds_golds)
+            if args.dataset == "STAR" else preds_golds
+        )
         with open(out, "w") as f:
-            json.dump(preds_golds, f)
+            json.dump(payload, f)
     print(f"test acc: {acc:.4f} over {total} examples")
     return acc
 
@@ -156,12 +160,28 @@ def filter_text_results(args, model, params, ds):
     return results
 
 
+def star_format_test_output(preds_golds: dict) -> dict:
+    """Group STAR predictions by question type for the online evaluator.
+    ref: evaluate.py:21-25"""
+    out = {k: [] for k in ("Interaction", "Sequence", "Prediction",
+                           "Feasibility")}
+    for qa_id, pred in zip(preds_golds["qa_ids"], preds_golds["preds"]):
+        key = str(qa_id).split("_")[0]
+        out.setdefault(key, []).append(
+            {"question_id": qa_id, "answer": pred}
+        )
+    return out
+
+
 def main(args=None):
     if args is None:
         args = get_args()
     print("EVALUATE:", datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
-    ds = AGQADataset(
-        data_paths(args), "test", max_video_length=args.max_video_length
+    from stair_tpu.train.loop import DATASET_CLASSES
+
+    ds = DATASET_CLASSES[args.dataset](
+        data_paths(args), "test", max_video_length=args.max_video_length,
+        use_prog_word_embeddings=args.use_prog_word_embeddings,
     )
     model, params = load_model(args, ds)
     if args.evaluate_func == "acc":
