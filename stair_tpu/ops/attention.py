@@ -71,9 +71,14 @@ def _flash_kernel(
     prefix_ref, valid_ref,               # scalar prefetch: [B] each
     q_ref, k_ref, v_ref,                 # [1, 1, block, D] VMEM tiles
     o_ref,                               # [1, 1, block_q, D]
-    m_scratch, l_scratch, acc_scratch,
-    *, block_q, block_kv, kv_len, causal, sm_scale,
+    *rest,
+    block_q, block_kv, kv_len, causal, sm_scale, with_lse=False,
 ):
+    if with_lse:
+        lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        lse_ref = None
+        m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -137,10 +142,17 @@ def _flash_kernel(
         l = l_scratch[...][:, : o_ref.shape[-1]]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[...] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lraw = l_scratch[...]
+            lse = jnp.where(
+                lraw > 0.0, m_scratch[...] + jnp.log(lraw), jnp.inf
+            )
+            lse_ref[0, 0] = lse
 
 
 def _flash_forward(q, k, v, prefix_len, valid_len, causal, sm_scale,
-                   block_q=128, block_kv=128, interpret=False):
+                   block_q=128, block_kv=128, interpret=False,
+                   save_residuals=False):
     B, H, Lq, D = q.shape
     Lkv = k.shape[2]
     block_q = min(block_q, Lq)
@@ -152,11 +164,26 @@ def _flash_forward(q, k, v, prefix_len, valid_len, causal, sm_scale,
     kernel = functools.partial(
         _flash_kernel,
         block_q=block_q, block_kv=block_kv, kv_len=Lkv,
-        causal=causal, sm_scale=sm_scale,
+        causal=causal, sm_scale=sm_scale, with_lse=save_residuals,
     )
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, D),
+                     lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+    ]
+    if save_residuals:
+        # Log-sum-exp per row, lane-replicated (the layout the backward
+        # kernels read without relayout; +inf marks fully-masked rows).
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, Lq, LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, LANES),
+                         lambda b, h, qi, ki, *_: (b, h, qi, 0))
+        )
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=tuple(out_shape),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -168,8 +195,7 @@ def _flash_forward(q, k, v, prefix_len, valid_len, causal, sm_scale,
                 pl.BlockSpec((1, 1, block_kv, D),
                              lambda b, h, qi, ki, *_: (b, h, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D),
-                                   lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -183,6 +209,215 @@ def _flash_forward(q, k, v, prefix_len, valid_len, causal, sm_scale,
         ),
         interpret=interpret,
     )(prefix_len.astype(jnp.int32), valid_len.astype(jnp.int32), q, k, v)
+    if save_residuals:
+        return result
+    return result[0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (dq and dk/dv)
+# ---------------------------------------------------------------------------
+
+def _tile_mask(prefix, valid, q_start, kv_start, block_q, block_kv, causal):
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 0) + q_start
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 1) + kv_start
+    ok = cols < valid
+    if causal:
+        ok &= (cols <= rows) | (cols < prefix)
+    return ok
+
+
+def _bwd_dq_kernel(
+    prefix_ref, valid_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dq_ref, dq_scratch,
+    *, block_q, block_kv, causal, sm_scale,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    prefix = prefix_ref[b]
+    valid = valid_ref[b]
+    q_start = qi * block_q
+    kv_start = ki * block_kv
+    run = kv_start < valid
+    if causal:
+        run &= (kv_start <= q_start + block_q - 1) | (kv_start < prefix)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]                     # [block_q, 1]
+        di = di_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        ok = _tile_mask(prefix, valid, q_start, kv_start,
+                        block_q, block_kv, causal)
+        s = jnp.where(ok, s, MASK_VALUE)
+        p = jnp.exp(s - lse)                           # [block_q, block_kv]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * sm_scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    prefix_ref, valid_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, block_q, block_kv, causal, sm_scale,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    prefix = prefix_ref[b]
+    valid = valid_ref[b]
+    q_start = qi * block_q
+    kv_start = ki * block_kv
+    run = kv_start < valid
+    if causal:
+        run &= (kv_start <= q_start + block_q - 1) | (kv_start < prefix)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        ok = _tile_mask(prefix, valid, q_start, kv_start,
+                        block_q, block_kv, causal)
+        s = jnp.where(ok, s, MASK_VALUE)
+        p = jnp.exp(s - lse)
+        # dv += p^T @ do ; dk += ds^T @ q (contraction over the q rows).
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * sm_scale
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == pl.num_programs(3) - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, prefix_len, valid_len, causal,
+                    sm_scale, block_q=128, block_kv=128, interpret=False):
+    """Pallas backward: returns (dq, dk, dv)."""
+    B, H, Lq, D = q.shape
+    Lkv = k.shape[2]
+    block_q = min(block_q, Lq)
+    block_kv = min(block_kv, Lkv)
+    prefix_len = prefix_len.astype(jnp.int32)
+    valid_len = valid_len.astype(jnp.int32)
+    # di = rowsum(o * do), lane-replicated like lse.
+    di = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
+    )[..., None]
+    di = jnp.broadcast_to(di, (B, H, Lq, LANES))
+
+    qspec = pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, qi, ki, *_: (b, h, qi, 0))
+    kspec = pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, qi, ki, *_: (b, h, ki, 0))
+    statq = pl.BlockSpec((1, 1, block_q, LANES),
+                         lambda b, h, qi, ki, *_: (b, h, qi, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_q=block_q, block_kv=block_kv,
+            causal=causal, sm_scale=sm_scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, Lq // block_q, Lkv // block_kv),
+            in_specs=[qspec, kspec, kspec, qspec, statq, statq],
+            out_specs=qspec,
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+        interpret=interpret,
+    )(prefix_len, valid_len, q, k, v, do, lse, di)
+
+    # dkv grid: kv-major, q innermost (accumulation dimension).
+    qspec2 = pl.BlockSpec((1, 1, block_q, D),
+                          lambda b, h, ki, qi, *_: (b, h, qi, 0))
+    kspec2 = pl.BlockSpec((1, 1, block_kv, D),
+                          lambda b, h, ki, qi, *_: (b, h, ki, 0))
+    statq2 = pl.BlockSpec((1, 1, block_q, LANES),
+                          lambda b, h, ki, qi, *_: (b, h, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, block_q=block_q, block_kv=block_kv,
+            causal=causal, sm_scale=sm_scale,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, Lkv // block_kv, Lq // block_q),
+            in_specs=[qspec2, kspec2, kspec2, qspec2, statq2, statq2],
+            out_specs=(kspec2, kspec2),
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+        interpret=interpret,
+    )(prefix_len, valid_len, q, k, v, do, lse, di)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -227,13 +462,35 @@ def flash_attention(q, k, v, prefix_len, valid_len, causal=True,
     return reference_attention(q, k, v, prefix_len, valid_len, causal, scale)
 
 
+def _use_pallas(q, k):
+    bq = _pick_block(q.shape[2])
+    bkv = _pick_block(k.shape[2])
+    return (_on_tpu() and bq and bkv and q.shape[-1] <= LANES), bq, bkv
+
+
 def _fwd(q, k, v, prefix_len, valid_len, causal, sm_scale):
-    out = flash_attention(q, k, v, prefix_len, valid_len, causal, sm_scale)
-    return out, (q, k, v, prefix_len, valid_len)
+    scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
+    ok, bq, bkv = _use_pallas(q, k)
+    if ok:
+        out, lse = _flash_forward(
+            q, k, v, prefix_len, valid_len, causal, scale,
+            block_q=bq, block_kv=bkv, save_residuals=True,
+        )
+        return out, (q, k, v, prefix_len, valid_len, out, lse)
+    out = reference_attention(q, k, v, prefix_len, valid_len, causal, scale)
+    return out, (q, k, v, prefix_len, valid_len, None, None)
 
 
 def _bwd(causal, sm_scale, residuals, g):
-    q, k, v, prefix_len, valid_len = residuals
+    q, k, v, prefix_len, valid_len, o, lse = residuals
+    scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
+    ok, bq, bkv = _use_pallas(q, k)
+    if ok and lse is not None:
+        dq, dk, dv = _flash_backward(
+            q, k, v, o, lse, g, prefix_len, valid_len, causal, scale,
+            block_q=bq, block_kv=bkv,
+        )
+        return dq, dk, dv, None, None
 
     def f(q, k, v):
         return reference_attention(
