@@ -102,7 +102,7 @@ class Kind(enum.Enum):
     KW = "kw"
 
 
-@dataclass
+@dataclass(slots=True)
 class _Val:
     """A lowering-time stack value: a kind plus 1-2 backing registers
     (or the keyword string for KW)."""
@@ -112,7 +112,7 @@ class _Val:
     keyword: str | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Instr:
     opcode: Opcode
     va: int = 0
