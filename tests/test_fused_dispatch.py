@@ -1,0 +1,132 @@
+"""Guard: the executor's fused gathered-weight dispatch must match the
+standalone per-module functions in stair_tpu.models.modules.
+
+The fused path inlines the filter-family MLPs, the shared Localize
+projection and both Superlative variants for speed; these tests pin it to
+the one-module-one-function reference API so the two cannot drift.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from stair_tpu.ir.lowering import lower_program, pad_traces
+from stair_tpu.models import modules as M
+from stair_tpu.models.nmn import NMNConfig, VideoNMN
+
+H, F, VD, TD, L = 32, 16, 24, 20, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = NMNConfig(
+        hidden_size=H, video_size=VD, text_size=TD, answer_vocab_length=7,
+        max_video_length=F, object_types=3, have_pretrain_head=True,
+        max_steps=8, num_vec=6, num_frames=3, num_attn=4, dropout=0.0,
+    )
+    model = VideoNMN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "question": rng.randn(1, L, TD).astype(np.float32),
+        "question_mask": np.ones((1, L), np.float32),
+        "video": rng.randn(1, F, VD).astype(np.float32),
+        "video_mask": np.ones((1, F), np.float32),
+    }
+    return cfg, model, params, batch
+
+
+def _run(model, params, batch, program_tokens):
+    tr = lower_program(program_tokens)
+    tb = pad_traces([tr], model.config.max_steps, model.config.num_vec,
+                    model.config.num_frames, model.config.num_attn)
+    bdict = dict(
+        batch, trace=tb.fields, root_reg=tb.root_reg,
+        root_is_vec=tb.root_is_vec,
+    )
+    out = model.forward(params, bdict)
+    return tr, out
+
+
+def _inputs(model, params, batch):
+    vf = model.encode_video(
+        params, jnp.asarray(batch["video"]), jnp.asarray(batch["video_mask"])
+    )[0]
+    tf, _ = model.encode_question(
+        params, jnp.asarray(batch["question"]),
+        jnp.asarray(batch["question_mask"]),
+    )
+    return vf, tf[0]
+
+
+def test_filter_kw_matches_module_fn(setup):
+    cfg, model, params, batch = setup
+    tr, out = _run(model, params, batch, ["Filter", "video", "actions"])
+    vf, _ = _inputs(model, params, batch)
+    mask = jnp.ones((F,))
+    expected = M.filter_module_kw(
+        params["modules"]["filter"], vf, 0, mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )
+    got = out["regs_vec"][0, tr.instrs[-1].out_vec]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_filterframe_vec_matches_module_fn(setup):
+    cfg, model, params, batch = setup
+    # FilterFrame(video, text) -> frames; root via Filter for a vec root.
+    tokens = ["Filter", "FilterFrame", "video", "some_text", "actions"]
+    tr, out = _run(model, params, batch, tokens)
+    vf, tf = _inputs(model, params, batch)
+    kw = jnp.mean(tf, axis=0)  # span (-1,-1): whole-question mean
+    mask = jnp.ones((F,))
+    expected = M.filterframe_module_vec(
+        params["modules"]["filterframe"], vf, kw, mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )
+    ff_instr = next(i for i in tr.instrs if i.out_frames > 0)
+    got = out["regs_frames"][0, ff_instr.out_frames]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_localize_and_superlative_match_module_fns(setup):
+    cfg, model, params, batch = setup
+    tokens = ["Superlative", "max", "FilterFrame", "video", "actions",
+              "video"]
+    tr, out = _run(model, params, batch, tokens)
+    vf, _ = _inputs(model, params, batch)
+    mask = jnp.ones((F,))
+    ff = M.filterframe_module_kw(
+        params["modules"]["filterframe"], vf, 0, mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )
+    expected = M.superlative_module(
+        params["modules"]["superlative"], params["modules"]["localize"],
+        False, ff, vf, mask, 0.0, jax.random.PRNGKey(0), True,
+        action_mask=mask > 0,
+    )
+    got = out["regs_vec"][0, tr.instrs[-1].out_vec]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_localize_scores_match(setup):
+    cfg, model, params, batch = setup
+    tokens = ["Filter", "Temporal", "while", "video", "Localize", "video",
+              "text_arg", "actions"]
+    tr, out = _run(model, params, batch, tokens)
+    vf, tf = _inputs(model, params, batch)
+    kw = jnp.mean(tf, axis=0)
+    mask = jnp.ones((F,))
+    expected = M.localize_scores(
+        params["modules"]["localize"], vf, kw[None, :], mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )[0]
+    loc = next(i for i in tr.instrs if i.opcode == 14)
+    got = out["regs_attn"][0, loc.out_attn]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
