@@ -130,3 +130,28 @@ def test_localize_scores_match(setup):
     got = out["regs_attn"][0, loc.out_attn]
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_softmax_filter_mode_and_bf16(setup):
+    """Config variants: corrected Filter attention and bf16 execution."""
+    import dataclasses
+
+    cfg, model, params, batch = setup
+    tokens = ["Filter", "video", "some_text"]
+    tr, out_parity = _run(model, params, batch, tokens)
+
+    model_sm = VideoNMN(dataclasses.replace(cfg, filter_attention="softmax"))
+    _, out_sm = _run(model_sm, params, batch, tokens)
+    a = np.asarray(out_parity["regs_vec"][0, tr.instrs[-1].out_vec])
+    b = np.asarray(out_sm["regs_vec"][0, tr.instrs[-1].out_vec])
+    assert np.isfinite(b).all()
+    assert not np.allclose(a, b), "softmax mode must differ from parity"
+
+    model_bf = VideoNMN(dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    _, out_bf = _run(model_bf, params, batch, tokens)
+    c = np.asarray(out_bf["logits"])
+    assert np.isfinite(c).all()
+    ref_logits = np.asarray(out_parity["logits"])
+    # bf16 tracks fp32 loosely (matmul rounding accumulates over the LSTM).
+    scale = np.abs(ref_logits).max() + 1e-6
+    assert np.abs(c - ref_logits).max() / scale < 0.15
