@@ -183,6 +183,12 @@ def main(args=None):
         data_paths(args), "test", max_video_length=args.max_video_length,
         use_prog_word_embeddings=args.use_prog_word_embeddings,
     )
+    # --start-index/--end-index: evaluate a slice (ref args.py:68-69).
+    end = args.end_index if args.end_index >= 0 else len(ds.records)
+    if args.start_index or end < len(ds.records):
+        ds.records = ds.records[args.start_index:end]
+        ds.traces = ds.traces[args.start_index:end]
+        print(f"evaluating slice [{args.start_index}:{end}]")
     model, params = load_model(args, ds)
     if args.evaluate_func == "acc":
         return evaluate_acc(args, model, params, ds)

@@ -298,7 +298,12 @@ def main(args=None):
     print(f"train={len(train_ds)} valid={len(valid_ds)} "
           f"dropped={train_ds.drop_reasons}")
 
-    model, config_dict = build_model(args, [train_ds, valid_ds])
+    if args.config_filename:
+        with open(args.config_filename) as f:
+            config_dict = json.load(f)
+        model = VideoNMN(NMNConfig(**config_dict))
+    else:
+        model, config_dict = build_model(args, [train_ds, valid_ds])
     print("model config:", config_dict)
     rng = jax.random.PRNGKey(args.rand_seed)
     rng, init_rng = jax.random.split(rng)

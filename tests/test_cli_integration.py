@@ -1,0 +1,139 @@
+"""Entry-point integration tests: every CLI main() runs end to end.
+
+Guards the user-facing surfaces (train loop, evaluate, parser, preprocess)
+against argument/wiring regressions. Uses tiny configs on CPU; heavier
+behavioral coverage lives in the dedicated test modules.
+"""
+
+import json
+import os
+import pickle
+
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from stair_tpu.programs import preprocess
+from stair_tpu.programs.scene_graph import SceneGraphExecutor
+
+
+@pytest.fixture(scope="module")
+def cli_world(tmp_path_factory):
+    from stair_tpu.testing.synthetic import make_world
+
+    out = str(tmp_path_factory.mktemp("cli_world"))
+    w = make_world(out, num_videos=8, questions_per_video=6, num_frames=24,
+                   seed=21)
+    with open(w["questions"]) as f:
+        qs = json.load(f)
+    preprocess.set_executor(
+        SceneGraphExecutor(w["scene_graphs"], w["id2word"], w["word2id"])
+    )
+    recs = preprocess.convert_split(
+        [dict(r, qa_id=k) for k, r in qs.items()]
+    )
+    os.makedirs(os.path.join(out, "out"), exist_ok=True)
+    n = len(recs)
+    splits = {
+        "train.pkl": recs[: int(n * 0.7)],
+        "valid.pkl": recs[int(n * 0.7): int(n * 0.85)],
+        "test.pkl": recs[int(n * 0.85):],
+    }
+    for name, part in splits.items():
+        with open(os.path.join(out, "out", name), "wb") as f:
+            pickle.dump(part, f)
+    with open(os.path.join(out, "filter_answers.json"), "w") as f:
+        json.dump(sorted(set(json.load(open(w["id2word"])).values()))[:40], f)
+    return w, out
+
+
+def _common_args(w, out):
+    return [
+        "--rgb-path", w["features"], "--glove-filename", w["glove"],
+        "--train-filename", os.path.join(out, "out", "train.pkl"),
+        "--valid-filename", os.path.join(out, "out", "valid.pkl"),
+        "--test-filename", os.path.join(out, "out", "test.pkl"),
+        "--video-secs-path", w["video_secs"],
+        "--word2id-filename", w["word2id"],
+        "--vocab-filename", os.path.join(out, "out", "vocab.json"),
+        "--output", os.path.join(out, "run"),
+        "--video-size", "64", "--hidden-size", "32",
+        "--max-video-length", "24", "--batch-size", "16",
+    ]
+
+
+def test_train_and_evaluate_clis(cli_world):
+    from stair_tpu.train.args import get_args
+    from stair_tpu.train import evaluate as eval_cli
+    from stair_tpu.train import loop
+
+    w, out = cli_world
+    args = get_args(_common_args(w, out) + [
+        "--num-epochs", "2", "--report-interval", "5",
+        "--evaluate-interval", "4", "--lr", "1e-3",
+        "--scheduler-total-iters", "20",
+    ])
+    best = loop.main(args)
+    assert 0.0 <= best <= 1.0
+    assert os.path.exists(os.path.join(out, "run", "best_model",
+                                       "params.msgpack"))
+    assert os.path.exists(os.path.join(out, "run", "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "run", "code", "stair_tpu"))
+
+    eargs = get_args(_common_args(w, out) + [
+        "--model-ckpt", os.path.join(out, "run", "best_model"),
+        "--evaluate-func", "acc", "--result-filename", "preds.json",
+        "--end-index", "12",
+    ])
+    acc = eval_cli.main(eargs)
+    assert 0.0 <= acc <= 1.0
+    with open(os.path.join(out, "run", "preds.json")) as f:
+        preds = json.load(f)
+    assert len(preds["preds"]) <= 12
+
+    fargs = get_args(_common_args(w, out) + [
+        "--model-ckpt", os.path.join(out, "run", "best_model"),
+        "--evaluate-func", "filter_text_result",
+        "--filter-answer-vocab-filename",
+        os.path.join(out, "filter_answers.json"),
+        "--result-filename", os.path.join(out, "run", "filter.pkl"),
+    ])
+    results = eval_cli.main(fargs)
+    assert isinstance(results, dict) and results
+    sample = next(iter(results.values()))
+    for _src, (level, keyword, top10) in sample.items():
+        assert isinstance(level, int) and isinstance(keyword, str)
+        assert len(top10) == 10
+
+
+def test_parser_cli_roundtrip(cli_world):
+    from stair_tpu.seq2seq import train as parser_cli
+
+    w, out = cli_world
+    parser_dir = os.path.join(out, "parser")
+    parser_cli.main([
+        "--func", "train", "--arch", "transformer",
+        "--train-filename", os.path.join(out, "out", "train.pkl"),
+        "--output", parser_dir, "--num-epochs", "3", "--batch-size", "16",
+        "--embed-dim", "64", "--max-src-len", "20", "--max-tgt-len", "20",
+        "--report-interval", "1000",
+    ])
+    tsv = os.path.join(parser_dir, "gen.tsv")
+    parser_cli.main([
+        "--func", "predict", "--model-dir", parser_dir,
+        "--test-filename", os.path.join(out, "out", "test.pkl"),
+        "--result-filename", tsv, "--batch-size", "8",
+        "--max-src-len", "20", "--max-tgt-len", "20", "--beam-size", "3",
+    ])
+    assert os.path.exists(tsv)
+    parser_cli.main(["--func", "check_valid", "--result-filename", tsv])
+
+    dest = os.path.join(out, "out", "test_gen.pkl")
+    preprocess.main([
+        "--func", "upgrade", "--generated-format", "huggingface",
+        "--src-data-filename", os.path.join(out, "out", "test.pkl"),
+        "--dest-data-filename", dest, "--generated-filename", tsv,
+    ])
+    with open(dest, "rb") as f:
+        upgraded = pickle.load(f)
+    assert len(upgraded) > 0
