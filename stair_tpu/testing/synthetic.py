@@ -136,7 +136,38 @@ def _sample_question(rng: random.Random, graph, id2word):
     })
     any_obj = rng.choice(OBJECTS)
     action = rng.choice(actions)
-    template = rng.randrange(7)
+    template = rng.randrange(10)
+    if template == 7:
+        # Nested Exists under Xor: exercises the boolean supervision channel.
+        obj2 = rng.choice([o for o in OBJECTS if o != any_obj])
+        op = rng.choice(["XOR", "AND"])
+        word = "exactly one" if op == "XOR" else "both"
+        return (
+            "were %s of a %s and a %s in the video ?" % (word, any_obj, obj2),
+            "%s(Exists(%s, Iterate(video, Filter(frame, [objects]))), "
+            "Exists(%s, Iterate(video, Filter(frame, [objects]))))"
+            % (op, any_obj, obj2),
+        )
+    if template == 8:
+        # ToAction composes verb+object; exercises contrastive supervision.
+        verb = rng.choice(VERBS)
+        obj = rng.choice(OBJECTS)
+        return (
+            "was the person %s a %s at some point ?" % (verb, obj),
+            "Exists(ToAction(%s, %s), Iterate(video, Filter(frame, [actions])))"
+            % (verb, obj),
+        )
+    if template == 9:
+        # Equals over the first related object; exercises Equals supervision.
+        rel = rng.choice(relations) if relations else "touching"
+        rel_text = rel.replace("_", " ")
+        return (
+            "was a %s what they were %s first ?" % (any_obj, rel_text),
+            "Equals(%s, Query(class, OnlyItem(IterateUntil(forward, video, "
+            "Exists(%s, Filter(frame, [relations])), "
+            "Filter(frame, [relations, %s, objects])))))"
+            % (any_obj, rel_text, rel_text),
+        )
     if template == 0:
         return (
             "was a %s in the video ?" % any_obj,
