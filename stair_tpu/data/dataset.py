@@ -354,11 +354,13 @@ class STARDataset(AGQADataset):
     """
 
     def __init__(self, paths, split, max_video_length=150,
-                 num_candidates=4, debug=False, seed=0,
+                 num_candidates=4, extra_negatives=0, debug=False, seed=0,
                  use_prog_word_embeddings=False, **_):
         self.split = split
         self.max_video_length = max_video_length
-        self.num_candidates = num_candidates
+        self.num_candidates = num_candidates + (
+            extra_negatives if split == "train" else 0
+        )
         self.use_prog_word_embeddings = use_prog_word_embeddings
         filename = {"train": paths.train_filename,
                     "valid": paths.valid_filename,
@@ -383,6 +385,27 @@ class STARDataset(AGQADataset):
             rec["sg_res_by_step"] = rec.get("sg_res_by_step") or {}
             kept.append(rec)
         self.records = kept
+        if split == "train" and extra_negatives:
+            # Sample in-type negatives into each question's candidate list
+            # (ref dataset.py:315-328).
+            by_type: dict[str, set] = {}
+            for rec in kept:
+                qtype = str(rec.get("qa_id", "")).split("_")[0]
+                by_type.setdefault(qtype, set()).add(rec.get("answer"))
+            rng = random.Random(seed)
+            for rec in kept:
+                qtype = str(rec.get("qa_id", "")).split("_")[0]
+                pool = sorted(
+                    a for a in by_type.get(qtype, set())
+                    if a is not None and a != rec.get("answer")
+                )
+                base = len(rec.get("choices", []))
+                for i, neg in enumerate(
+                    rng.sample(pool, min(extra_negatives, len(pool)))
+                ):
+                    rec["choices"].append(
+                        {"choice_id": base + i, "choice": neg}
+                    )
 
         with open(paths.video_secs_path) as f:
             self.video_secs = json.load(f)

@@ -223,3 +223,14 @@ def test_aux_prog_word_embeddings(star_world):
     assert not np.allclose(
         np.asarray(out_aux["logits"]), np.asarray(out_plain["logits"])
     )
+
+
+def test_star_extra_negatives(star_world):
+    ds = STARDataset(star_world, "train", max_video_length=24,
+                     extra_negatives=2, seed=0)
+    rec = ds.records[0]
+    assert len(rec["choices"]) >= 4  # originals plus sampled negatives
+    assert ds.num_candidates == 6
+    # negatives come from the same question type and differ from the answer
+    negs = [c["choice"] for c in rec["choices"][4:]]
+    assert all(n != rec["answer"] for n in negs)
