@@ -31,7 +31,12 @@ import jax.numpy as jnp
 
 from stair_tpu.ir.lowering import Opcode
 from stair_tpu.models import modules as M
-from stair_tpu.ops.lstm import bilstm, init_lstm_params
+from stair_tpu.ops.lstm import (
+    bilstm,
+    init_lstm_params,
+    init_transformer_encoder_params,
+    transformer_encode,
+)
 
 
 @dataclass(frozen=True)
@@ -49,6 +54,9 @@ class NMNConfig:
     #: 'float32' for exact reference parity; 'bfloat16' runs the executor's
     #: matmuls at MXU-native precision (losses stay fp32).
     compute_dtype: str = "float32"
+    #: 'lstm' (reference parity) or 'transformer' (parallel-over-sequence,
+    #: MXU-friendly) for the video/text encoders.
+    encoder: str = "lstm"
     # Trace geometry (register-file sizes + instruction count cap).
     max_steps: int = 32
     num_vec: int = 24
@@ -86,8 +94,19 @@ class VideoNMN:
                     "have_pretrain_head": cfg.have_pretrain_head,
                 },
             ),
-            "video_encoder": init_lstm_params(k_venc, cfg.video_size, H // 2),
-            "text_encoder": init_lstm_params(k_tenc, cfg.text_size, H // 2),
+            "video_encoder": (
+                init_lstm_params(k_venc, cfg.video_size, H // 2)
+                if cfg.encoder == "lstm"
+                else init_transformer_encoder_params(
+                    k_venc, cfg.video_size, H,
+                    max_len=max(cfg.max_video_length, 512),
+                )
+            ),
+            "text_encoder": (
+                init_lstm_params(k_tenc, cfg.text_size, H // 2)
+                if cfg.encoder == "lstm"
+                else init_transformer_encoder_params(k_tenc, cfg.text_size, H)
+            ),
             "decoder": {
                 "l1": M._init_linear(k_dec1, 2 * H, 2 * H),
                 "l2": M._init_linear(k_dec2, 2 * H, cfg.answer_vocab_length),
@@ -102,24 +121,29 @@ class VideoNMN:
 
     # -- encoders ------------------------------------------------------------
 
+    def _encode(self, enc_params, x, mask):
+        if self.config.encoder == "lstm":
+            return bilstm(enc_params, x, mask)
+        return transformer_encode(enc_params, x, mask)
+
     def encode_video(self, params, video, video_mask):
         """[B, F, video_size] -> [B, F, H] (ref module_net.py:160-163)."""
-        return jax.vmap(lambda x, m: bilstm(params["video_encoder"], x, m)[0])(
-            video, video_mask
-        )
+        return jax.vmap(
+            lambda x, m: self._encode(params["video_encoder"], x, m)[0]
+        )(video, video_mask)
 
     def encode_question(self, params, question, question_mask):
         """[B, L, text_size] -> tokens [B, L, H], sentence [B, H]
         (ref module_net.py:151-158)."""
-        return jax.vmap(lambda x, m: bilstm(params["text_encoder"], x, m))(
-            question, question_mask
-        )
+        return jax.vmap(
+            lambda x, m: self._encode(params["text_encoder"], x, m)
+        )(question, question_mask)
 
     def encode_sentences(self, params, embeddings, mask):
         """Batch-encode standalone phrases (gold classes, filter vocab)."""
-        _, sent = jax.vmap(lambda x, m: bilstm(params["text_encoder"], x, m))(
-            embeddings, mask
-        )
+        _, sent = jax.vmap(
+            lambda x, m: self._encode(params["text_encoder"], x, m)
+        )(embeddings, mask)
         return sent
 
     # -- the executor --------------------------------------------------------

@@ -83,3 +83,75 @@ def bilstm(params, x, mask):
     tokens = jnp.concatenate([fwd_seq, bwd_seq], axis=-1) * mask[:, None]
     sentence = jnp.concatenate([fwd_last, bwd_last], axis=-1)
     return tokens, sentence
+
+
+# ---------------------------------------------------------------------------
+# Transformer encoder alternative (--encoder transformer)
+# ---------------------------------------------------------------------------
+
+def init_transformer_encoder_params(rng, input_size: int, hidden_size: int,
+                                    num_layers: int = 2, num_heads: int = 4,
+                                    max_len: int = 512) -> dict:
+    """A small pre-norm transformer encoder with the BiLSTM's interface.
+
+    The reference is LSTM-only; SURVEY §7 flags a transformer encoder as the
+    config-flagged alternative — parallel over the sequence (no recurrence),
+    which maps far better onto the MXU than a 64-step scan.
+    """
+    from stair_tpu.models.modules import _init_linear
+
+    H = hidden_size
+    keys = iter(jax.random.split(rng, 4 + 6 * num_layers))
+
+    def lin(fi, fo):
+        return _init_linear(next(keys), fi, fo)
+
+    def ln():
+        return {"scale": jnp.ones((H,)), "bias": jnp.zeros((H,))}
+
+    return {
+        "in_proj": lin(input_size, H),
+        "pos": jax.random.normal(next(keys), (max_len, H)) * 0.02,
+        "layers": [
+            {
+                "ln1": ln(),
+                "q": lin(H, H), "k": lin(H, H), "v": lin(H, H),
+                "o": lin(H, H),
+                "ln2": ln(),
+                "up": lin(H, 2 * H), "down": lin(2 * H, H),
+            }
+            for _ in range(num_layers)
+        ],
+        "ln_f": ln(),
+    }
+
+
+def transformer_encode(params, x, mask, num_heads: int = 4):
+    """[L, D] + [L] mask -> (token_features [L, H], sentence feature [H]).
+
+    Sentence feature = masked mean of token features (the transformer
+    counterpart of the BiLSTM's final-state concat).
+    """
+    from stair_tpu.models.modules import layer_norm, linear
+
+    L = x.shape[0]
+    h = linear(params["in_proj"], x) + params["pos"][:L]
+    heads = num_heads
+    attn_mask = (mask > 0)[None, :]
+    for layer in params["layers"]:
+        a_in = layer_norm(layer["ln1"], h)
+        hd = a_in.shape[-1] // heads
+        q = linear(layer["q"], a_in).reshape(L, heads, hd)
+        k = linear(layer["k"], a_in).reshape(L, heads, hd)
+        v = linear(layer["v"], a_in).reshape(L, heads, hd)
+        s = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(hd)
+        s = jnp.where(attn_mask[None], s, -1e30)
+        w = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("hqk,khd->qhd", w, v).reshape(L, -1)
+        h = h + linear(layer["o"], attn)
+        m_in = layer_norm(layer["ln2"], h)
+        h = h + linear(layer["down"], jax.nn.gelu(linear(layer["up"], m_in)))
+    tokens = layer_norm(params["ln_f"], h) * mask[:, None]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    sentence = jnp.sum(tokens, axis=0) / denom
+    return tokens, sentence

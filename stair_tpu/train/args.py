@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dropout", type=float, default=0.25)
     p.add_argument("--init-method", type=str, default="default")
     p.add_argument("--layer-norm", type=int, default=1)
+    p.add_argument("--encoder", type=str, default="lstm",
+                   choices=["lstm", "transformer"],
+                   help="question/video encoders: BiLSTM (reference parity) "
+                        "or a parallel transformer encoder")
     p.add_argument("--filter-attention", type=str, default="parity",
                    choices=["parity", "softmax"],
                    help="'parity' replicates the reference Filter pooling; "

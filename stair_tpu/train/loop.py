@@ -123,6 +123,7 @@ def build_model(args, datasets) -> tuple[VideoNMN, dict]:
         object_types=max(1, len(ds0.id2index)),
         have_pretrain_head=args.module_loss_weight != 0,
         filter_attention=args.filter_attention,
+        encoder=args.encoder,
         max_steps=steps, num_vec=vec, num_frames=fr, num_attn=at,
     )
     return VideoNMN(cfg), cfg.to_dict()

@@ -155,3 +155,39 @@ def test_softmax_filter_mode_and_bf16(setup):
     # bf16 tracks fp32 loosely (matmul rounding accumulates over the LSTM).
     scale = np.abs(ref_logits).max() + 1e-6
     assert np.abs(c - ref_logits).max() / scale < 0.15
+
+
+def test_transformer_encoder_mode(setup):
+    """--encoder transformer: full forward runs and trains a step."""
+    import dataclasses
+    import optax
+    from stair_tpu.train.losses import total_loss
+
+    cfg, _, _, batch = setup
+    cfg_t = dataclasses.replace(cfg, encoder="transformer")
+    model = VideoNMN(cfg_t)
+    params = model.init(jax.random.PRNGKey(1))
+    tr, out = _run(model, params, batch, ["Filter", "video", "actions"])
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    # gradient flows through the transformer encoders
+    tb = pad_traces([tr], cfg.max_steps, cfg.num_vec, cfg.num_frames,
+                    cfg.num_attn)
+    bdict = dict(batch, trace=tb.fields, root_reg=tb.root_reg,
+                 root_is_vec=tb.root_is_vec,
+                 answer=np.zeros((1,), np.int32),
+                 sup_channel=np.zeros((1, cfg.max_steps), np.int32),
+                 sup_bool=np.zeros((1, cfg.max_steps), np.float32),
+                 sup_attn=np.zeros((1, cfg.max_steps, 2, F), np.float32),
+                 sup_attn_rows=np.zeros((1, cfg.max_steps), np.int32),
+                 class_emb=np.zeros((4, 3, TD), np.float32),
+                 class_emb_mask=np.ones((4, 3), np.float32),
+                 class_valid=np.ones((4,), np.float32),
+                 sup_class=-np.ones((1, cfg.max_steps, 2), np.int32),
+                 ff_index=np.zeros((1, 2), np.int32),
+                 ff_gold=np.zeros((1, F, cfg.object_types), np.float32),
+                 ff_valid=np.zeros((1,), np.float32))
+    grads = jax.grad(lambda p: total_loss(
+        model, p, bdict, jax.random.PRNGKey(0), 1.0, 1.0, 1.0, 1.0,
+        deterministic=True)[0])(params)
+    enc_leaves = jax.tree_util.tree_leaves(grads["video_encoder"])
+    assert any(np.any(np.asarray(g) != 0) for g in enc_leaves)
