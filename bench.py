@@ -35,7 +35,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_jax(num_questions: int, batch_size: int) -> dict:
+def _parse_one(program: str):
+    from stair_tpu.ir.lowering import lower_program
+    from stair_tpu.programs.parser import parse_nmn_program
+
+    parsed = parse_nmn_program(program)
+    tr = lower_program(parsed.tokens, parsed.source_index, {})
+    tr.field_matrix()  # materialize the cached matrix in the worker
+    return tr
+
+
+def bench_jax(num_questions: int, batch_size: int,
+              parse_workers: int = 1) -> dict:
     import jax
 
     from stair_tpu.ir.lowering import lower_program, pad_traces
@@ -64,16 +75,37 @@ def bench_jax(num_questions: int, batch_size: int) -> dict:
     programs = workload.PROGRAM_TEMPLATES
     num_batches = max(1, num_questions // batch_size)
 
+    pool = None
+    if parse_workers > 1:
+        # The host pipeline parallelizes parsing exactly like the reference
+        # preprocessor does (agqa_lite.py: Pool(num_workers)); warm it up so
+        # fork/import cost is not billed to the measurement.
+        import multiprocessing as mp
+
+        pool = mp.Pool(parse_workers)
+        pool.map(_parse_one, programs)
+
     t0 = time.perf_counter()
     parse_time = 0.0
     done = 0
     for i in range(num_batches):
         tp0 = time.perf_counter()
         # Host side: parse + lower + pack (the "parse" half of the metric).
-        traces = []
-        for q in range(batch_size):
-            parsed = parse_nmn_program(programs[(i + q) % len(programs)])
-            traces.append(lower_program(parsed.tokens, parsed.source_index, {}))
+        batch_programs = [
+            programs[(i + q) % len(programs)] for q in range(batch_size)
+        ]
+        if pool is not None:
+            traces = pool.map(
+                _parse_one, batch_programs,
+                chunksize=max(1, batch_size // parse_workers),
+            )
+        else:
+            traces = []
+            for prog in batch_programs:
+                parsed = parse_nmn_program(prog)
+                traces.append(
+                    lower_program(parsed.tokens, parsed.source_index, {})
+                )
         tb = pad_traces(
             traces, cfg.max_steps, cfg.num_vec, cfg.num_frames, cfg.num_attn
         )
@@ -85,9 +117,11 @@ def bench_jax(num_questions: int, batch_size: int) -> dict:
         done += batch_size
     jax.block_until_ready(logits)
     elapsed = time.perf_counter() - t0
+    if pool is not None:
+        pool.terminate()
     qps = done / elapsed
     log(f"jax: {done} questions in {elapsed:.3f}s -> {qps:.1f} q/s "
-        f"(host parse/pack {parse_time:.3f}s, "
+        f"(host parse/pack {parse_time:.3f}s with {parse_workers} workers, "
         f"device {elapsed - parse_time:.3f}s)")
     return {"qps": qps, "questions": done, "elapsed": elapsed}
 
@@ -167,11 +201,16 @@ def main():
     ap.add_argument("--questions", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--parse-workers", type=int, default=None,
+                    help="host parse parallelism (default: min(8, cpus))")
     args = ap.parse_args()
 
     n = args.questions or (512 if args.quick else 8192)
     bs = min(args.batch_size, n)
-    res = bench_jax(n, bs)
+    workers = args.parse_workers
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+    res = bench_jax(n, bs, parse_workers=workers)
 
     baseline = None
     source = "none"

@@ -43,6 +43,7 @@ class Args:
     scheduler_end_factor = 0.1
     scheduler_total_iters = 100
     modules_no_intermediate_train = ["FilterFrame"]
+    encoder = "lstm"
 
 
 @pytest.fixture(scope="module")
