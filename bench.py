@@ -75,8 +75,15 @@ def bench_jax(num_questions: int, batch_size: int,
     programs = workload.PROGRAM_TEMPLATES
     num_batches = max(1, num_questions // batch_size)
 
+    # Prefer the native C++ parser+lowerer (exact-parity, see
+    # tests/test_native_parser.py); falls back to the Python pipeline.
+    from stair_tpu.runtime.loader import native_parse_lower_batch, parser_lib
+
+    use_native = parser_lib() is not None
+    log(f"native parser: {'yes' if use_native else 'no'}")
+
     pool = None
-    if parse_workers > 1:
+    if not use_native and parse_workers > 1:
         # The host pipeline parallelizes parsing exactly like the reference
         # preprocessor does (agqa_lite.py: Pool(num_workers)); warm it up so
         # fork/import cost is not billed to the measurement.
@@ -94,21 +101,28 @@ def bench_jax(num_questions: int, batch_size: int,
         batch_programs = [
             programs[(i + q) % len(programs)] for q in range(batch_size)
         ]
-        if pool is not None:
-            traces = pool.map(
-                _parse_one, batch_programs,
-                chunksize=max(1, batch_size // parse_workers),
+        if use_native:
+            tb = native_parse_lower_batch(
+                batch_programs, cfg.max_steps, cfg.num_vec,
+                cfg.num_frames, cfg.num_attn,
             )
         else:
-            traces = []
-            for prog in batch_programs:
-                parsed = parse_nmn_program(prog)
-                traces.append(
-                    lower_program(parsed.tokens, parsed.source_index, {})
+            if pool is not None:
+                traces = pool.map(
+                    _parse_one, batch_programs,
+                    chunksize=max(1, batch_size // parse_workers),
                 )
-        tb = pad_traces(
-            traces, cfg.max_steps, cfg.num_vec, cfg.num_frames, cfg.num_attn
-        )
+            else:
+                traces = []
+                for prog in batch_programs:
+                    parsed = parse_nmn_program(prog)
+                    traces.append(
+                        lower_program(parsed.tokens, parsed.source_index, {})
+                    )
+            tb = pad_traces(
+                traces, cfg.max_steps, cfg.num_vec, cfg.num_frames,
+                cfg.num_attn,
+            )
         batch["trace"] = tb.fields
         batch["root_reg"] = tb.root_reg
         batch["root_is_vec"] = tb.root_is_vec

@@ -129,6 +129,132 @@ def span_to_attention_batch(intervals: np.ndarray, frames: int) -> np.ndarray:
     return out
 
 
+_PARSER_SRC = os.path.join(os.path.dirname(__file__), "parser.cpp")
+_PARSER_LIB = os.path.join(os.path.dirname(__file__), "_parser.so")
+_parser_lib = None
+_parser_tried = False
+
+
+def parser_lib():
+    """Load (compiling on demand) the native parser; None if unavailable."""
+    global _parser_lib, _parser_tried
+    if _parser_tried:
+        return _parser_lib
+    _parser_tried = True
+    try:
+        if (not os.path.exists(_PARSER_LIB)
+                or os.path.getmtime(_PARSER_LIB) < os.path.getmtime(_PARSER_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                 _PARSER_SRC, "-o", _PARSER_LIB],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_PARSER_LIB)
+        lib.stair_parser_version.restype = ctypes.c_int
+        assert lib.stair_parser_version() == 1
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.stair_parse_lower_batch.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int32,
+            i32p, u8p, i32p, u8p, ctypes.c_int,
+        ]
+        _parser_lib = lib
+    except Exception:
+        _parser_lib = None
+    return _parser_lib
+
+
+def native_parse_lower_batch(
+    programs: list[str], max_steps: int, num_vec: int, num_frames: int,
+    num_attn: int, threads: int | None = None,
+):
+    """Parse+lower a batch of annotation strings natively.
+
+    Returns a TraceBatch (same contract as ``pad_traces``), falling back to
+    the Python pipeline per program when the native parser reports an
+    unsupported construct. Spans are not linked (whole-question mean).
+    Returns None if the native library is unavailable.
+    """
+    from stair_tpu.ir.lowering import (
+        _INT_FIELDS,
+        _F_OUT_VEC, _F_OUT_FRAMES, _F_OUT_ATTN, _F_OUT_ATTN_B,
+        _F_SPAN_START, _F_SPAN_END, _F_SRC,
+        TraceBatch, lower_program,
+    )
+    from stair_tpu.programs.parser import parse_nmn_program
+
+    lib = parser_lib()
+    if lib is None:
+        return None
+    B = len(programs)
+    blob = b"\0".join(p.encode() for p in programs) + b"\0"
+    offsets = np.zeros((B,), np.int64)
+    pos = 0
+    for i, p in enumerate(programs):
+        offsets[i] = pos
+        pos += len(p.encode()) + 1
+    nf = len(_INT_FIELDS)
+    fields3 = np.zeros((B, max_steps, nf), np.int32)
+    supervised = np.zeros((B, max_steps), np.uint8)
+    meta = np.zeros((B, 6), np.int32)
+    ok = np.zeros((B,), np.uint8)
+    lib.stair_parse_lower_batch(
+        blob, offsets, B, max_steps, fields3, supervised, meta, ok,
+        threads or DEFAULT_THREADS,
+    )
+
+    scratch_cols = (
+        (_F_OUT_VEC, num_vec), (_F_OUT_FRAMES, num_frames),
+        (_F_OUT_ATTN, num_attn), (_F_OUT_ATTN_B, num_attn),
+    )
+    fits = (
+        ok.astype(bool)
+        & (meta[:, 1] <= num_vec)
+        & (meta[:, 2] <= num_frames)
+        & (meta[:, 3] <= num_attn)
+    )
+    for b in np.nonzero(~fits)[0]:
+        # Python fallback (also raises clean errors on bad programs).
+        parsed = parse_nmn_program(programs[b])
+        tr = lower_program(parsed.tokens, parsed.source_index, {})
+        T = len(tr.instrs)
+        if T > max_steps:
+            raise ValueError(f"trace has {T} steps > max_steps={max_steps}")
+        fields3[b, :T] = tr.field_matrix()
+        supervised[b, :T] = [ins.supervised for ins in tr.instrs]
+        meta[b] = (T, tr.num_vec, tr.num_frames, tr.num_attn,
+                   tr.root_reg, 1 if tr.root_kind.value == "vec" else 0)
+
+    num_steps = meta[:, 0].astype(np.int32)
+    step_mask = np.arange(max_steps)[None, :] < num_steps[:, None]
+    pad = ~step_mask
+    supervised[pad] = 0
+    fields3[pad] = 0
+    fields3[:, :, _F_SPAN_START][pad] = -1
+    fields3[:, :, _F_SPAN_END][pad] = -1
+    fields3[:, :, _F_SRC][pad] = -1
+    for col, idx in scratch_cols:
+        c = fields3[:, :, col]
+        c[pad] = idx
+        c[c == -1] = idx  # resolve scratch sentinels
+    root_is_vec = meta[:, 5].astype(bool)
+    root_reg = meta[:, 4].astype(np.int32)
+
+    fields = {
+        name: np.ascontiguousarray(fields3[:, :, i])
+        for i, name in enumerate(_INT_FIELDS)
+    }
+    return TraceBatch(
+        fields=fields,
+        step_mask=step_mask,
+        supervised=supervised.astype(bool),
+        root_is_vec=root_is_vec,
+        root_reg=root_reg,
+        num_steps=num_steps,
+    )
+
+
 class PrefetchIterator:
     """Run a batch generator on a background thread with a bounded queue."""
 

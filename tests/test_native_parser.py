@@ -1,0 +1,88 @@
+"""Native C++ parser+lowerer parity vs the Python pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+from stair_tpu.ir.lowering import _INT_FIELDS, lower_program, pad_traces
+from stair_tpu.programs.parser import parse_nmn_program
+from stair_tpu.runtime.loader import native_parse_lower_batch, parser_lib
+from stair_tpu.testing.workload import PROGRAM_TEMPLATES
+
+from tests.test_parser import PROGRAMS as PARSER_CORPUS
+
+
+def _python_batch(programs, T, NV, NF, NA):
+    traces = []
+    for p in programs:
+        parsed = parse_nmn_program(p)
+        traces.append(lower_program(parsed.tokens, parsed.source_index, {}))
+    return pad_traces(traces, T, NV, NF, NA)
+
+
+def _assert_batches_equal(native, python):
+    for name in _INT_FIELDS:
+        np.testing.assert_array_equal(
+            native.fields[name], python.fields[name], err_msg=name
+        )
+    np.testing.assert_array_equal(native.step_mask, python.step_mask)
+    np.testing.assert_array_equal(native.supervised, python.supervised)
+    np.testing.assert_array_equal(native.root_is_vec, python.root_is_vec)
+    np.testing.assert_array_equal(native.root_reg, python.root_reg)
+    np.testing.assert_array_equal(native.num_steps, python.num_steps)
+
+
+def test_native_parser_builds():
+    assert parser_lib() is not None
+
+
+@pytest.mark.parametrize("corpus", ["templates", "parser_corpus"])
+def test_native_matches_python(corpus):
+    programs = list(
+        PROGRAM_TEMPLATES if corpus == "templates" else PARSER_CORPUS
+    )
+    T, NV, NF, NA = 40, 24, 8, 12
+    native = native_parse_lower_batch(programs, T, NV, NF, NA)
+    assert native is not None
+    python = _python_batch(programs, T, NV, NF, NA)
+    _assert_batches_equal(native, python)
+
+
+def test_native_matches_python_on_synthetic_world(synthetic_world):
+    with open(synthetic_world["questions"]) as f:
+        questions = json.load(f)
+    programs = [rec["program"] for rec in questions.values()]
+    T, NV, NF, NA = 40, 24, 8, 12
+    native = native_parse_lower_batch(programs, T, NV, NF, NA)
+    python = _python_batch(programs, T, NV, NF, NA)
+    _assert_batches_equal(native, python)
+
+
+def test_native_falls_back_on_bad_program():
+    # One invalid program in the batch: the wrapper's Python fallback must
+    # raise the same clean error the Python path raises.
+    with pytest.raises(Exception):
+        native_parse_lower_batch(
+            ["Exists(food, Iterate(video, Filter(frame, [objects])))",
+             "Exists(broken"],
+            40, 24, 8, 12,
+        )
+
+
+def test_native_parse_speed():
+    import time
+
+    programs = [
+        PROGRAM_TEMPLATES[i % len(PROGRAM_TEMPLATES)] for i in range(512)
+    ]
+    native_parse_lower_batch(programs[:8], 40, 24, 8, 12)  # warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        native_parse_lower_batch(programs, 40, 24, 8, 12)
+    native_dt = (time.perf_counter() - t0) / (4 * len(programs))
+    t0 = time.perf_counter()
+    _python_batch(programs, 40, 24, 8, 12)
+    python_dt = (time.perf_counter() - t0) / len(programs)
+    print(f"native {native_dt*1e6:.1f} us/q vs python {python_dt*1e6:.1f} us/q")
+    assert native_dt < python_dt, "native parse must beat the Python path"
