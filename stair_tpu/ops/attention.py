@@ -14,12 +14,15 @@ Replaces the reference's two attention mechanisms with one kernel:
 
 Forward is a tiled online-softmax kernel (one KV tile in VMEM at a time,
 running max/sum correction — the standard flash recipe). Backward is a
-``custom_vjp`` that recomputes attention with the same masking in plain XLA:
-at this framework's sequence lengths (<=1-2k tokens) the recomputed backward
-is bandwidth-comparable to a hand-written kernel and keeps the derivative
-exactly consistent with the masked reference semantics.
+``custom_vjp`` backed by two Pallas kernels (``_bwd_dq_kernel`` for dq and
+``_bwd_dkv_kernel`` for dk/dv) that recompute the masked probabilities from
+the saved log-sum-exp, so no [Lq, Lkv] attention matrix ever touches HBM in
+either direction.
 
-Falls back to a pure-XLA path on non-TPU backends (tests run on CPU).
+Pallas-vs-XLA routing is per *lowering platform* (``lax.platform_dependent``),
+not per global default backend: the same jitted computation picks the Pallas
+kernels when lowered for TPU and the dense-XLA path when lowered for CPU —
+e.g. a CPU mesh dryrun in a process that also has a TPU plugin registered.
 """
 
 from __future__ import annotations
@@ -424,22 +427,63 @@ def _flash_backward(q, k, v, o, lse, do, prefix_len, valid_len, causal,
 # Public API with custom VJP (recompute backward)
 # ---------------------------------------------------------------------------
 
-def _on_tpu() -> bool:
-    try:
-        dev = jax.config.jax_default_device
-        if dev is not None:
-            return dev.platform == "tpu"
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 def _pick_block(length: int, preferred: int = 128) -> int | None:
     """Largest MXU-friendly block that divides ``length`` (None = no fit)."""
     for b in (preferred, 256, 128, 64, 32, 16, 8):
         if b <= length and length % b == 0:
             return b
     return None
+
+
+def _kernel_shapes_ok(q, k):
+    """Static shape gate for the Pallas kernels (platform decided later)."""
+    bq = _pick_block(q.shape[2])
+    bkv = _pick_block(k.shape[2])
+    return (bq is not None and bkv is not None
+            and q.shape[-1] <= LANES), bq, bkv
+
+
+def _xla_forward_with_lse(q, k, v, prefix_len, valid_len, causal, sm_scale):
+    """Dense-XLA forward that also returns the row log-sum-exp in the exact
+    layout the Pallas forward emits ([B, H, Lq, LANES] f32, lane-replicated,
+    +inf on fully-masked rows) so both platform branches of
+    ``lax.platform_dependent`` have identical output avals."""
+    B, H, Lq, D = q.shape
+    Lkv = k.shape[2]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    mask = jax.vmap(
+        lambda p, n: _attention_mask(p, n, Lq, Lkv, causal)
+    )(prefix_len, valid_len)                      # [B, Lq, Lkv]
+    scores = jnp.where(mask[:, None], scores, MASK_VALUE)
+    m = jnp.max(scores, axis=-1)                  # [B, H, Lq]
+    p = jnp.exp(scores - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    any_live = jnp.any(mask[:, None], axis=-1)    # [B, H, Lq] via broadcast
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    out = out / jnp.where(l == 0.0, 1.0, l)[..., None].astype(out.dtype)
+    lse = jnp.where(any_live, m + jnp.log(l), jnp.inf)
+    lse = jnp.broadcast_to(
+        lse[..., None].astype(jnp.float32), (B, H, Lq, LANES)
+    )
+    return out.astype(q.dtype), lse
+
+
+def _xla_backward(q, k, v, o, lse, g, prefix_len, valid_len, causal,
+                  sm_scale):
+    """Dense-XLA backward (recompute via vjp; ``o``/``lse`` unused — they are
+    operands only so both platform branches share one signature)."""
+    del o, lse
+
+    def f(q, k, v):
+        return reference_attention(
+            q, k, v, prefix_len, valid_len, causal, sm_scale
+        )
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -450,55 +494,68 @@ def flash_attention(q, k, v, prefix_len, valid_len, causal=True,
     q: [B, H, Lq, D]; k/v: [B, H, Lkv, D];
     prefix_len: [B] — per-example fully-visible prefix (0 = plain causal);
     valid_len:  [B] — per-example number of real (non-pad) KV positions.
+
+    Routed per lowering platform: Pallas kernels on TPU, dense XLA elsewhere
+    (and everywhere when sequence shapes don't tile onto the MXU).
     """
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    bq = _pick_block(q.shape[2])
-    bkv = _pick_block(k.shape[2])
-    if _on_tpu() and bq and bkv and q.shape[-1] <= LANES:
-        return _flash_forward(
-            q, k, v, prefix_len, valid_len, causal, scale,
-            block_q=bq, block_kv=bkv,
+    ok, bq, bkv = _kernel_shapes_ok(q, k)
+    if not ok:
+        return reference_attention(
+            q, k, v, prefix_len, valid_len, causal, scale
         )
-    return reference_attention(q, k, v, prefix_len, valid_len, causal, scale)
-
-
-def _use_pallas(q, k):
-    bq = _pick_block(q.shape[2])
-    bkv = _pick_block(k.shape[2])
-    return (_on_tpu() and bq and bkv and q.shape[-1] <= LANES), bq, bkv
+    return jax.lax.platform_dependent(
+        q, k, v, prefix_len, valid_len,
+        tpu=functools.partial(
+            _flash_forward, causal=causal, sm_scale=scale,
+            block_q=bq, block_kv=bkv,
+        ),
+        default=functools.partial(
+            reference_attention, causal=causal, sm_scale=scale
+        ),
+    )
 
 
 def _fwd(q, k, v, prefix_len, valid_len, causal, sm_scale):
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    ok, bq, bkv = _use_pallas(q, k)
+    ok, bq, bkv = _kernel_shapes_ok(q, k)
     if ok:
-        out, lse = _flash_forward(
-            q, k, v, prefix_len, valid_len, causal, scale,
-            block_q=bq, block_kv=bkv, save_residuals=True,
+        out, lse = jax.lax.platform_dependent(
+            q, k, v, prefix_len, valid_len,
+            tpu=functools.partial(
+                _flash_forward, causal=causal, sm_scale=scale,
+                block_q=bq, block_kv=bkv, save_residuals=True,
+            ),
+            default=functools.partial(
+                _xla_forward_with_lse, causal=causal, sm_scale=scale
+            ),
         )
-        return out, (q, k, v, prefix_len, valid_len, out, lse)
-    out = reference_attention(q, k, v, prefix_len, valid_len, causal, scale)
-    return out, (q, k, v, prefix_len, valid_len, None, None)
+    else:
+        out, lse = _xla_forward_with_lse(
+            q, k, v, prefix_len, valid_len, causal, scale
+        )
+    return out, (q, k, v, prefix_len, valid_len, out, lse)
 
 
 def _bwd(causal, sm_scale, residuals, g):
     q, k, v, prefix_len, valid_len, o, lse = residuals
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    ok, bq, bkv = _use_pallas(q, k)
-    if ok and lse is not None:
-        dq, dk, dv = _flash_backward(
-            q, k, v, o, lse, g, prefix_len, valid_len, causal, scale,
-            block_q=bq, block_kv=bkv,
+    ok, bq, bkv = _kernel_shapes_ok(q, k)
+    if ok:
+        dq, dk, dv = jax.lax.platform_dependent(
+            q, k, v, o, lse, g, prefix_len, valid_len,
+            tpu=functools.partial(
+                _flash_backward, causal=causal, sm_scale=scale,
+                block_q=bq, block_kv=bkv,
+            ),
+            default=functools.partial(
+                _xla_backward, causal=causal, sm_scale=scale
+            ),
         )
-        return dq, dk, dv, None, None
-
-    def f(q, k, v):
-        return reference_attention(
-            q, k, v, prefix_len, valid_len, causal, sm_scale
+    else:
+        dq, dk, dv = _xla_backward(
+            q, k, v, o, lse, g, prefix_len, valid_len, causal, scale
         )
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
 

@@ -137,3 +137,26 @@ def test_parser_cli_roundtrip(cli_world):
     with open(dest, "rb") as f:
         upgraded = pickle.load(f)
     assert len(upgraded) > 0
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry():
+    """The driver's multi-chip dryrun must be green from a cold interpreter,
+    even with an accelerator plugin registered (regression: round-1
+    MULTICHIP artifact was red because the entry never pinned the platform
+    and array creation landed on the tunneled TPU)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Simulate the driver: no pre-forced host device count, plugin visible.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "8"],
+        capture_output=True, text=True, cwd=repo, timeout=540, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "NMN step OK on 8 devices" in proc.stdout
+    assert "LLM tp-sharded SFT step OK" in proc.stdout
