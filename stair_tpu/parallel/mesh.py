@@ -26,7 +26,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()
+        # Respect a pinned jax_default_device: plugin backends (axon TPU)
+        # stay the default *backend* even when tests pin the CPU platform,
+        # and a mesh must live on the platform the rest of the computation
+        # uses — mixed-platform arguments are rejected by jit.
+        default = getattr(jax.config, "jax_default_device", None)
+        if default is not None:
+            devices = jax.devices(default.platform)
+        else:
+            devices = jax.devices()
     if dp <= 0:
         dp = max(1, len(devices) // tp)
     need = dp * tp

@@ -151,7 +151,7 @@ def parser_lib():
             )
         lib = ctypes.CDLL(_PARSER_LIB)
         lib.stair_parser_version.restype = ctypes.c_int
-        assert lib.stair_parser_version() == 1
+        assert lib.stair_parser_version() == 2
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -221,6 +221,16 @@ def native_parse_lower_batch(
         T = len(tr.instrs)
         if T > max_steps:
             raise ValueError(f"trace has {T} steps > max_steps={max_steps}")
+        # Enforce the pad_traces capacity contract (lowering.py): register
+        # indices beyond the configured capacities would be silently clamped
+        # by JAX gathers downstream.
+        for kind, need, cap in (("vec", tr.num_vec, num_vec),
+                                ("frames", tr.num_frames, num_frames),
+                                ("attn", tr.num_attn, num_attn)):
+            if need > cap:
+                raise ValueError(
+                    f"trace needs {need} {kind} registers > capacity {cap}"
+                )
         fields3[b, :T] = tr.field_matrix()
         supervised[b, :T] = [ins.supervised for ins in tr.instrs]
         meta[b] = (T, tr.num_vec, tr.num_frames, tr.num_attn,

@@ -77,7 +77,9 @@ struct Cell {
 };
 
 // ---- tokenizer (parser.py:tokenize_annotation) ----------------------------
-std::vector<std::string> Tokenize(const std::string& input) {
+// Returns false on malformed bracket nesting (caller falls back to Python,
+// which raises cleanly) — a bad annotation string must never be UB here.
+bool Tokenize(const std::string& input, std::vector<std::string>* result) {
   std::string s;
   s.reserve(input.size() * 2);
   for (size_t i = 0; i < input.size(); ++i) {
@@ -115,6 +117,7 @@ std::vector<std::string> Tokenize(const std::string& input) {
       open.push_back(out.size());
       out.push_back(tok);
     } else if (tok == "]") {
+      if (open.empty()) return false;  // unmatched ']'
       size_t b = open.back();
       open.pop_back();
       int items = static_cast<int>(out.size() - b - 1);
@@ -127,11 +130,15 @@ std::vector<std::string> Tokenize(const std::string& input) {
       out.push_back(tok);
     }
   }
-  return out;
+  if (!open.empty()) return false;  // unmatched '['
+  *result = std::move(out);
+  return true;
 }
 
 // ---- tree utilities --------------------------------------------------------
-void ChildrenParents(const std::vector<Cell>& prog,
+// Returns false when an op's arity exceeds the available operands (malformed
+// program) — on success every op node has exactly its arity in kids.
+bool ChildrenParents(const std::vector<Cell>& prog,
                      std::vector<std::vector<int>>* kids,
                      std::vector<int>* parents) {
   int n = static_cast<int>(prog.size());
@@ -144,6 +151,7 @@ void ChildrenParents(const std::vector<Cell>& prog,
       stack.push_back(i);
     } else {
       for (int a = 0; a < it->second; ++a) {
+        if (stack.empty()) return false;  // operand underflow
         (*kids)[i].push_back(stack.back());
         stack.pop_back();
       }
@@ -152,6 +160,7 @@ void ChildrenParents(const std::vector<Cell>& prog,
   }
   for (int i = 0; i < n; ++i)
     for (int c : (*kids)[i]) (*parents)[c] = i;
+  return true;
 }
 
 std::vector<int> Subtree(const std::vector<std::vector<int>>& kids, int pos) {
@@ -220,12 +229,13 @@ bool LinearRewrites(std::vector<Cell>* prog, std::vector<int>* iterate_marks) {
   return true;
 }
 
-void RewriteIterate(std::vector<Cell>* prog, const std::vector<int>& marks) {
+bool RewriteIterate(std::vector<Cell>* prog, const std::vector<int>& marks) {
   std::vector<std::vector<int>> kids;
   std::vector<int> parents;
-  ChildrenParents(*prog, &kids, &parents);
+  if (!ChildrenParents(*prog, &kids, &parents)) return false;
   std::set<int> dead;
   for (int pos : marks) {
+    if (kids[pos].size() < 2) return false;
     (*prog)[pos].tok = "Filter";
     int inner = kids[pos][1];
     dead.insert(inner);
@@ -235,6 +245,7 @@ void RewriteIterate(std::vector<Cell>* prog, const std::vector<int>& marks) {
   for (int i = 0; i < static_cast<int>(prog->size()); ++i)
     if (!dead.count(i)) out.push_back((*prog)[i]);
   *prog = out;
+  return true;
 }
 
 bool RewriteIterateUntil(std::vector<Cell>* prog) {
@@ -245,7 +256,7 @@ bool RewriteIterateUntil(std::vector<Cell>* prog) {
     if (iu.empty()) return true;
     std::vector<std::vector<int>> kids;
     std::vector<int> parents;
-    ChildrenParents(*prog, &kids, &parents);
+    if (!ChildrenParents(*prog, &kids, &parents)) return false;
     int best_start = -1, best_end = -1;
     for (int p : iu) {
       auto span = Subtree(kids, p);
@@ -257,8 +268,10 @@ bool RewriteIterateUntil(std::vector<Cell>* prog) {
     }
     int start = best_start, end = best_end;
     auto& pr = *prog;
+    if (kids[start].size() < 4) return false;
     std::vector<Cell> seg = {{"Filter", pr[start].src}, {"AttnVideo", -1}};
     int items_len = static_cast<int>(Subtree(kids, kids[start][1]).size());
+    if (start + 2 + items_len > static_cast<int>(pr.size())) return false;
     for (int j = start + 2; j < start + 2 + items_len; ++j)
       seg.push_back(pr[j]);
     seg.push_back({"Relate", -1});
@@ -270,7 +283,8 @@ bool RewriteIterateUntil(std::vector<Cell>* prog) {
       } else if (c.tok == "Filter" && bfi + 1 < static_cast<int>(pr.size()) &&
                  pr[bfi + 1].tok == "frame") {
         if (pr[parents[bfi]].tok == "Exists") {
-          int back = bfi - parents[bfi];
+          size_t back = static_cast<size_t>(bfi - parents[bfi]);
+          if (back < 1 || back > seg.size()) return false;
           seg[seg.size() - back].tok = "ExistsFrame";
         }
         seg.push_back({"FilterFrame", c.src});
@@ -280,6 +294,7 @@ bool RewriteIterateUntil(std::vector<Cell>* prog) {
         seg.push_back(c);
       }
     }
+    if (kids[kids[start][3]].size() < 2) return false;
     for (int p2 : Subtree(kids, kids[kids[start][3]][1]))
       seg.push_back(pr[p2]);
     if (static_cast<int>(seg.size()) != end - start) return false;
@@ -627,7 +642,8 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
 
 bool ParseLowerOne(const char* program, int cap_steps, int32_t* fields,
                    uint8_t* supervised, int32_t* meta_out) {
-  auto tokens = Tokenize(program);
+  std::vector<std::string> tokens;
+  if (!Tokenize(program, &tokens)) return false;
   std::vector<Cell> prog;
   prog.reserve(tokens.size());
   for (size_t i = 0; i < tokens.size(); ++i)
@@ -635,7 +651,7 @@ bool ParseLowerOne(const char* program, int cap_steps, int32_t* fields,
 
   std::vector<int> marks;
   if (!LinearRewrites(&prog, &marks)) return false;
-  if (!marks.empty()) RewriteIterate(&prog, marks);
+  if (!marks.empty() && !RewriteIterate(&prog, marks)) return false;
   bool has_iu = false;
   for (auto& c : prog)
     if (c.tok == "IterateUntil") { has_iu = true; break; }
@@ -695,6 +711,6 @@ void stair_parse_lower_batch(const char* programs, const int64_t* offsets,
   delete next;
 }
 
-int stair_parser_version() { return 1; }
+int stair_parser_version() { return 2; }
 
 }  // extern "C"

@@ -70,10 +70,29 @@ def evaluate_acc(args, model, params, ds):
               "(check the parser output / --generated-format)")
         return 0.0
 
+    # Multiple-choice datasets (STAR) predict via the choice head over the
+    # batch's embedded candidates, not the open-vocab decoder (whose head is
+    # 0-wide when the answer vocab is empty); mirrors make_eval_step.
+    multiple_choice = hasattr(ds, "candidates")
+
     @jax.jit
     def step(params, batch):
         out = model.forward(params, batch, deterministic=True)
+        if batch.get("cand_emb") is not None:
+            from stair_tpu.models.nmn import choice_logits
+
+            return jnp.argmax(choice_logits(
+                model, params, out, batch["cand_emb"], batch["cand_mask"],
+                batch["cand_valid"],
+            ), axis=-1)
         return jnp.argmax(out["logits"], axis=-1)
+
+    def to_text(idx_val, rec):
+        """Candidate text (multiple-choice) or vocab word (open-ended)."""
+        if multiple_choice:
+            cands = ds.candidates(rec)
+            return cands[idx_val] if 0 <= idx_val < len(cands) else str(idx_val)
+        return id2w.get(idx_val, str(idx_val))
 
     correct = total = 0
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
@@ -86,8 +105,13 @@ def evaluate_acc(args, model, params, ds):
         golds = batch.answer[:real]
         correct += int(np.sum((preds[:real] == golds) & (golds != unk)))
         total += real
-        preds_golds["preds"].extend(id2w[int(p)] for p in preds[:real])
-        preds_golds["golds"].extend(id2w[int(g)] for g in golds)
+        recs = [ds.records[j] for j in batch.meta["indices"][:real]]
+        preds_golds["preds"].extend(
+            to_text(int(p), r) for p, r in zip(preds[:real], recs)
+        )
+        preds_golds["golds"].extend(
+            to_text(int(g), r) for g, r in zip(golds, recs)
+        )
         preds_golds["qa_ids"].extend(batch.qa_ids[:real])
     acc = correct / max(total, 1)
     if args.result_filename:

@@ -36,7 +36,12 @@ from stair_tpu.data.dataset import (
     STARDataset,
 )
 from stair_tpu.models.nmn import NMNConfig, VideoNMN
-from stair_tpu.parallel.mesh import make_mesh, param_sharding, shard_batch
+from stair_tpu.parallel.mesh import (
+    make_mesh,
+    param_sharding,
+    replicated,
+    shard_batch,
+)
 from stair_tpu.train import checkpoint as ckpt
 from stair_tpu.train.args import get_args
 from stair_tpu.train.losses import (
@@ -324,10 +329,20 @@ def main(args=None):
     optimizer = optax.adamw(
         lr_schedule(args), weight_decay=args.weight_decay
     ) if args.weight_decay else optax.adam(lr_schedule(args))
-    opt_state = optimizer.init(params)
 
+    # Shard params onto the mesh BEFORE optimizer.init so the optimizer
+    # state inherits the same placement — initializing from pre-sharded
+    # params leaves opt_state committed to the init device and the jitted
+    # step rejects the mixed-device arguments.
     if mesh is not None:
         params = jax.device_put(params, param_sharding(params, mesh))
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        # Every opt_state leaf (including optax's param-independent step
+        # counter, which init places on the default device) must live on the
+        # mesh's device set or the jitted step rejects the mixed arguments.
+        # Replication is exact here: only the small decoder head is sharded.
+        opt_state = jax.device_put(opt_state, replicated(mesh))
 
     train_step = make_train_step(model, optimizer, args)
     eval_step = make_eval_step(model)
@@ -345,7 +360,23 @@ def main(args=None):
     state = ckpt.load_trainer_state(os.path.join(args.output, "latest"))
     if state and args.model_ckpt:
         global_step, best_acc = state["step"], state["best_acc"]
-        print(f"resuming at step {global_step}")
+        # Mid-run resume restores Adam moments and the PRNG stream, not just
+        # params — otherwise the optimizer restarts cold at the resumed lr.
+        restored = ckpt.load_opt_state(
+            os.path.join(args.output, "latest"), jax.device_get(opt_state)
+        )
+        if restored is not None:
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: (
+                    jax.device_put(new, old.sharding)
+                    if hasattr(old, "sharding") else new
+                ),
+                restored, opt_state,
+            )
+        if state.get("rng") is not None:
+            rng = jnp.asarray(state["rng"], dtype=jnp.uint32)
+        print(f"resuming at step {global_step} (optimizer state "
+              f"{'restored' if restored is not None else 'not found'})")
 
     from stair_tpu.runtime.loader import PrefetchIterator
     from stair_tpu.utils import profiling
@@ -429,7 +460,10 @@ def main(args=None):
                 ckpt.save_checkpoint(
                     os.path.join(args.output, "latest"), params, config_dict,
                     opt_state=opt_state,
-                    trainer_state={"step": global_step, "best_acc": best_acc},
+                    trainer_state={
+                        "step": global_step, "best_acc": best_acc,
+                        "rng": np.asarray(jax.device_get(rng)).tolist(),
+                    },
                 )
 
     # Final eval + save.
@@ -446,7 +480,10 @@ def main(args=None):
     ckpt.save_checkpoint(
         os.path.join(args.output, "latest"), params, config_dict,
         opt_state=opt_state,
-        trainer_state={"step": global_step, "best_acc": best_acc},
+        trainer_state={
+            "step": global_step, "best_acc": best_acc,
+            "rng": np.asarray(jax.device_get(rng)).tolist(),
+        },
     )
     return best_acc
 

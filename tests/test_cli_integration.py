@@ -160,3 +160,35 @@ def test_dryrun_multichip_entry():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "NMN step OK on 8 devices" in proc.stdout
     assert "LLM tp-sharded SFT step OK" in proc.stdout
+
+
+def test_resume_restores_optimizer_and_rng(cli_world, capsys):
+    """Mid-run resume must restore Adam moments and the PRNG stream, not just
+    params (regression: load_opt_state was never called on resume)."""
+    from stair_tpu.train.args import get_args
+    from stair_tpu.train import loop
+
+    w, out = cli_world
+    run = os.path.join(out, "resume_run")
+    base = _common_args(w, out) + ["--output", run]
+    args = get_args(base + [
+        "--num-epochs", "1", "--report-interval", "100",
+        "--evaluate-interval", "100", "--scheduler-total-iters", "20",
+    ])
+    loop.main(args)
+    with open(os.path.join(run, "latest", "trainer_state.json")) as f:
+        state1 = json.load(f)
+    assert state1["step"] > 0 and "rng" in state1
+    assert os.path.exists(os.path.join(run, "latest", "opt_state.msgpack"))
+
+    args2 = get_args(base + [
+        "--num-epochs", "1", "--report-interval", "100",
+        "--evaluate-interval", "100", "--scheduler-total-iters", "20",
+        "--model-ckpt", os.path.join(run, "latest"),
+    ])
+    loop.main(args2)
+    assert "optimizer state restored" in capsys.readouterr().out
+    with open(os.path.join(run, "latest", "trainer_state.json")) as f:
+        state2 = json.load(f)
+    assert state2["step"] == 2 * state1["step"]
+    assert state2["rng"] != state1["rng"]

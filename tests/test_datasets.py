@@ -234,3 +234,39 @@ def test_star_extra_negatives(star_world):
     # negatives come from the same question type and differ from the answer
     negs = [c["choice"] for c in rec["choices"][4:]]
     assert all(n != rec["answer"] for n in negs)
+
+
+def test_star_evaluate_acc_uses_choice_head(star_world, tmp_path):
+    """evaluate_acc on a multiple-choice dataset must predict via the choice
+    head and report candidate texts — with an empty STAR answer vocab the
+    decoder head is 0-wide, so the old argmax-on-logits path crashed
+    (and a non-empty vocab would silently score an untrained head)."""
+    from stair_tpu.train.evaluate import evaluate_acc
+
+    ds = STARDataset(star_world, "test", max_video_length=24)
+    T, NV, NF, NA = ds.trace_geometry()
+    cfg = NMNConfig(
+        hidden_size=32, video_size=ds.video_size,
+        text_size=ds.embeddings.dim,
+        answer_vocab_length=ds.answer_vocab_length,
+        max_video_length=24, object_types=1, have_pretrain_head=False,
+        max_steps=T, num_vec=NV, num_frames=NF, num_attn=NA,
+    )
+    model = VideoNMN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    class EvalArgs:
+        result_filename = "star_preds.json"
+        output = str(tmp_path)
+        dataset = "STAR"
+        batch_size = 4
+        max_question_len = 24
+
+    acc = evaluate_acc(EvalArgs(), model, params, ds)
+    assert 0.0 <= acc <= 1.0
+    with open(tmp_path / "star_preds.json") as f:
+        payload = json.load(f)
+    # STAR online-eval format, grouped by question type, candidate TEXT.
+    assert "Interaction" in payload and payload["Interaction"]
+    for row in payload["Interaction"]:
+        assert row["answer"].startswith("answer ")

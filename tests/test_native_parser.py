@@ -86,3 +86,40 @@ def test_native_parse_speed():
     python_dt = (time.perf_counter() - t0) / len(programs)
     print(f"native {native_dt*1e6:.1f} us/q vs python {python_dt*1e6:.1f} us/q")
     assert native_dt < python_dt, "native parse must beat the Python path"
+
+
+def test_malformed_programs_no_crash():
+    """Malformed annotation strings must return ok=0 (falling back to the
+    Python parser, which raises cleanly) — never UB in the C++ parser.
+    Regression: unmatched ']' and arity underflow used to pop empty stacks."""
+    import pytest
+
+    from stair_tpu.runtime.loader import native_parse_lower_batch
+
+    bad = ["]]]", "[[", "Exists(", "Compare(Xor(", "IterateUntil(a)",
+           "Filter([)", "", ")(", "Superlative(max)"]
+    for prog in bad:
+        # Outcome is either a clean Python exception or a valid TraceBatch
+        # (some of these degenerate to a single free-text token); the
+        # regression is the process not dying in native code.
+        try:
+            tb = native_parse_lower_batch([prog], 8, 4, 4, 4)
+        except Exception:
+            continue
+        assert tb is not None and tb.num_steps.shape == (1,)
+    # Bracket underflow specifically must raise via the Python fallback.
+    with pytest.raises(Exception):
+        native_parse_lower_batch(["]]]"], 8, 4, 4, 4)
+
+
+def test_fallback_capacity_validation():
+    """The Python-fallback branch must enforce register capacities like
+    pad_traces (loader.py contract), not emit clamped indices."""
+    import pytest
+
+    from stair_tpu.runtime.loader import native_parse_lower_batch
+
+    # A valid deep program that needs more vec registers than capacity 1.
+    prog = "And(Exists(a, b), Exists(c, d))"
+    with pytest.raises(ValueError):
+        native_parse_lower_batch([prog], 16, 1, 1, 1)

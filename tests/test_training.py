@@ -84,8 +84,27 @@ def _setup(ds, args=None):
 
 
 def test_loss_decreases(train_world):
+    """Deterministic loss on one fixed probe batch must drop decisively
+    after training. (Comparing a running per-batch loss is inherently flaky:
+    the contrastive terms make each batch's loss depend on its composition,
+    so first-vs-last batch ratios sit within run-to-run CPU-threading noise.)
+    """
+    from stair_tpu.train.losses import total_loss
+
     ds = train_world
     args, model, params, opt, opt_state, batcher, step_fn = _setup(ds)
+    probe = batch_to_device_dict(next(batcher.epoch(shuffle=False)))
+
+    @jax.jit
+    def probe_loss(p):
+        loss, aux = total_loss(
+            model, p, probe, jax.random.PRNGKey(0), 1.0, 1.0,
+            jnp.float32(1.0), jnp.float32(1.0), deterministic=True,
+        )
+        return loss, aux["scalars"]["decoder_loss"]
+
+    # Before any step (step_fn donates params).
+    before, before_dec = map(float, probe_loss(params))
     rng = jax.random.PRNGKey(1)
     losses = []
     gate = jnp.float32(1.0)
@@ -97,10 +116,14 @@ def test_loss_decreases(train_world):
                 gate, gate,
             )
             losses.append(float(metrics["loss"]))
-    first = np.mean(losses[:4])
-    last = np.mean(losses[-4:])
+    after, after_dec = map(float, probe_loss(params))
     assert np.isfinite(losses).all()
-    assert last < first * 0.85, f"loss did not decrease: {first} -> {last}"
+    # The module (supervision) channels carry a large irreducible entropy
+    # floor, so assert a decisive drop on the decoder CE (which memorizes
+    # the 60-example corpus) and any drop on the total.
+    assert after_dec < before_dec * 0.5, \
+        f"decoder loss did not memorize: {before_dec} -> {after_dec}"
+    assert after < before, f"total loss did not decrease: {before} -> {after}"
 
 
 def test_gradients_flow_everywhere(train_world):
