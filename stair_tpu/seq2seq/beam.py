@@ -27,11 +27,17 @@ def _tile_beams(tree, beam):
     )
 
 
-def beam_search(model, params, src_ids, src_mask, beam_size=5, max_len=48):
-    """Returns (tokens [B, K, max_len], scores [B, K]) sorted best-first."""
+def beam_search(model, params, src_ids, src_mask, beam_size=5, max_len=48,
+                bos=BOS, eos=EOS, pad=PAD):
+    """Returns (tokens [B, K, max_len], scores [B, K]) sorted best-first.
+
+    ``bos``/``eos``/``pad`` default to the word-level parser vocabulary;
+    pretrained T5 decodes with bos=pad=0, eos=1 (sentencepiece convention).
+    """
     B = src_ids.shape[0]
     K = beam_size
     V = model.config.tgt_vocab
+    BOS_, EOS_, PAD_ = bos, eos, pad
 
     encoded = model.encode(params, src_ids, src_mask)
     state = model.init_state(
@@ -41,8 +47,8 @@ def beam_search(model, params, src_ids, src_mask, beam_size=5, max_len=48):
     )
 
     scores0 = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
-    tokens0 = jnp.full((B, K, max_len), PAD, jnp.int32)
-    prev0 = jnp.full((B * K,), BOS, jnp.int32)
+    tokens0 = jnp.full((B, K, max_len), PAD_, jnp.int32)
+    prev0 = jnp.full((B * K,), BOS_, jnp.int32)
     fin0 = jnp.zeros((B, K), bool)
 
     def step_fn(carry, t):
@@ -50,7 +56,7 @@ def beam_search(model, params, src_ids, src_mask, beam_size=5, max_len=48):
         state, logits = model.step(params, state, prev)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         # Finished beams may only extend with PAD, for free.
-        pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
+        pad_only = jnp.full((V,), NEG_INF).at[PAD_].set(0.0)
         logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
 
         total = scores[:, :, None] + logp                      # [B, K, V]
@@ -70,7 +76,7 @@ def beam_search(model, params, src_ids, src_mask, beam_size=5, max_len=48):
             tokens, parent[:, :, None], axis=1
         ).at[:, :, t].set(token)
         finished = jnp.take_along_axis(finished, parent, axis=1) | (
-            token == EOS
+            token == EOS_
         )
         return (state, new_scores, tokens, token.reshape(-1), finished), None
 

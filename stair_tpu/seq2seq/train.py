@@ -29,11 +29,47 @@ from flax import serialization
 from stair_tpu.programs.parser import program_is_valid, repair_generated_program
 from stair_tpu.seq2seq.beam import beam_search
 from stair_tpu.seq2seq.lstm import LSTMSeq2Seq, LSTMSeq2SeqConfig
+from stair_tpu.seq2seq.t5 import T5Config, T5Seq2Seq
 from stair_tpu.seq2seq.transformer import (
     TransformerSeq2Seq,
     TransformerSeq2SeqConfig,
 )
-from stair_tpu.seq2seq.vocab import BOS, PAD, Vocab, question_tokens
+from stair_tpu.seq2seq.vocab import BOS, EOS, PAD, Vocab, question_tokens
+
+
+class HFTokenizerVocab:
+    """Vocab-protocol adapter over a sentencepiece tokenizer (the pretrained
+    Flan-T5 path, ref hf_program_parser.py:45-70: questions and space-joined
+    programs are both plain text to the tokenizer)."""
+
+    def __init__(self, tokenizer, vocab_size):
+        self.tokenizer = tokenizer
+        self.vocab_size = vocab_size
+
+    def __len__(self):
+        return self.vocab_size
+
+    def encode(self, tokens, max_len, add_eos=True):
+        return self.encode_text(" ".join(tokens), max_len, add_eos)
+
+    def encode_text(self, text, max_len, add_eos=True):
+        ids = self.tokenizer(
+            text, add_special_tokens=add_eos
+        )["input_ids"][:max_len]
+        return ids + [self.tokenizer.pad_token_id] * (max_len - len(ids))
+
+    def decode(self, ids):
+        text = self.tokenizer.decode(
+            [int(i) for i in ids], skip_special_tokens=True
+        )
+        return text.split()
+
+
+def specials_for(arch):
+    """(bos, eos, pad) decode ids: T5 decodes from the pad id."""
+    if arch in ("t5", "t5-pretrained"):
+        return 0, 1, 0
+    return BOS, EOS, PAD
 
 
 def load_pairs(filename):
@@ -53,10 +89,19 @@ def load_pairs(filename):
 
 
 def encode_pairs(pairs, src_vocab, tgt_vocab, max_src, max_tgt):
-    src = np.array(
-        [src_vocab.encode(q, max_src, add_eos=False) for _, q, _, _ in pairs],
-        np.int32,
-    )
+    if isinstance(src_vocab, HFTokenizerVocab):
+        # Pretrained path tokenizes the RAW question text (the reference
+        # feeds the untokenized question, hf_program_parser.py:45-58).
+        src = np.array(
+            [src_vocab.encode_text(raw, max_src) for _, _, _, raw in pairs],
+            np.int32,
+        )
+    else:
+        src = np.array(
+            [src_vocab.encode(q, max_src, add_eos=False)
+             for _, q, _, _ in pairs],
+            np.int32,
+        )
     tgt = np.array(
         [tgt_vocab.encode(p, max_tgt) for _, _, p, _ in pairs], np.int32
     )
@@ -72,6 +117,17 @@ def build_model(arch, src_vocab_size, tgt_vocab_size, args):
             max_src_len=args.max_src_len, max_tgt_len=args.max_tgt_len,
         )
         return LSTMSeq2Seq(cfg)
+    if arch in ("t5", "t5-pretrained"):
+        # T5 shares one embedding table between source and target.
+        cfg = T5Config(
+            vocab_size=max(src_vocab_size, tgt_vocab_size),
+            d_model=args.embed_dim, d_kv=args.embed_dim // 4, num_heads=4,
+            num_layers=args.num_layers, num_decoder_layers=args.num_layers,
+            d_ff=args.embed_dim * 2, feed_forward="gated-gelu",
+            tie_word_embeddings=True,
+            max_src_len=args.max_src_len, max_tgt_len=args.max_tgt_len,
+        )
+        return T5Seq2Seq(cfg)
     cfg = TransformerSeq2SeqConfig(
         src_vocab=src_vocab_size, tgt_vocab=tgt_vocab_size,
         d_model=args.embed_dim, num_heads=4,
@@ -81,23 +137,60 @@ def build_model(arch, src_vocab_size, tgt_vocab_size, args):
     return TransformerSeq2Seq(cfg)
 
 
+def load_pretrained_t5(path, args):
+    """Local HF Flan-T5 checkpoint -> (model, params, tokenizer). Runs the
+    reference's exact parser recipe (hf_program_parser.py:142-205) when the
+    released weights are on disk."""
+    from transformers import AutoTokenizer, T5ForConditionalGeneration
+
+    from stair_tpu.llm.import_weights import import_t5, t5_config_from_hf
+
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    hf = T5ForConditionalGeneration.from_pretrained(path)
+    cfg = t5_config_from_hf(
+        hf.config, max_src_len=args.max_src_len, max_tgt_len=args.max_tgt_len
+    )
+    params = import_t5(hf.state_dict())
+    vocab = HFTokenizerVocab(tokenizer, cfg.vocab_size)
+    return T5Seq2Seq(cfg), params, vocab
+
+
+def build_vocabs(args, train_pairs):
+    """(src_vocab, tgt_vocab) — word-level for from-scratch archs; a joint
+    vocabulary for from-scratch t5 (shared embedding)."""
+    if args.arch == "t5":
+        joint = Vocab.build(
+            [q for _, q, _, _ in train_pairs]
+            + [p for _, _, p, _ in train_pairs]
+        )
+        return joint, joint
+    return (
+        Vocab.build([q for _, q, _, _ in train_pairs]),
+        Vocab.build([p for _, _, p, _ in train_pairs]),
+    )
+
+
 def train(args):
     train_pairs = load_pairs(args.train_filename)
     valid_pairs = load_pairs(args.valid_filename) if args.valid_filename else []
     print(f"train pairs: {len(train_pairs)}, valid: {len(valid_pairs)}")
-    src_vocab = Vocab.build([q for _, q, _, _ in train_pairs])
-    tgt_vocab = Vocab.build([p for _, _, p, _ in train_pairs])
+    if args.hf_t5_path:
+        args.arch = "t5-pretrained"
+        model, params, vocab = load_pretrained_t5(args.hf_t5_path, args)
+        src_vocab = tgt_vocab = vocab
+    else:
+        src_vocab, tgt_vocab = build_vocabs(args, train_pairs)
+        model = build_model(args.arch, len(src_vocab), len(tgt_vocab), args)
+        params = model.init(jax.random.PRNGKey(args.seed))
     print(f"src vocab {len(src_vocab)}, tgt vocab {len(tgt_vocab)}")
-
-    model = build_model(args.arch, len(src_vocab), len(tgt_vocab), args)
-    params = model.init(jax.random.PRNGKey(args.seed))
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
+    bos_id, _eos, pad_id = specials_for(args.arch)
     src, src_mask, tgt = encode_pairs(
         train_pairs, src_vocab, tgt_vocab, args.max_src_len, args.max_tgt_len
     )
-    bos = np.full((len(src), 1), BOS, np.int32)
+    bos = np.full((len(src), 1), bos_id, np.int32)
     tgt_in = np.concatenate([bos, tgt[:, :-1]], axis=1)
 
     @jax.jit
@@ -138,13 +231,15 @@ def train(args):
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
-    src_vocab.save(os.path.join(args.output, "src_vocab.json"))
-    tgt_vocab.save(os.path.join(args.output, "tgt_vocab.json"))
+    if not args.hf_t5_path:
+        src_vocab.save(os.path.join(args.output, "src_vocab.json"))
+        tgt_vocab.save(os.path.join(args.output, "tgt_vocab.json"))
     with open(os.path.join(args.output, "parser_config.json"), "w") as f:
         json.dump({
             "arch": args.arch, "embed_dim": args.embed_dim,
             "hidden": args.hidden, "num_layers": args.num_layers,
             "max_src_len": args.max_src_len, "max_tgt_len": args.max_tgt_len,
+            "hf_t5_path": args.hf_t5_path,
         }, f)
     print("saved parser to", args.output)
 
@@ -158,8 +253,6 @@ def train(args):
 def load_parser(model_dir, args=None):
     with open(os.path.join(model_dir, "parser_config.json")) as f:
         cfg = json.load(f)
-    src_vocab = Vocab.load(os.path.join(model_dir, "src_vocab.json"))
-    tgt_vocab = Vocab.load(os.path.join(model_dir, "tgt_vocab.json"))
 
     class _A:
         pass
@@ -167,8 +260,14 @@ def load_parser(model_dir, args=None):
     a = _A()
     for k, v in cfg.items():
         setattr(a, k, v)
-    model = build_model(cfg["arch"], len(src_vocab), len(tgt_vocab), a)
-    params = model.init(jax.random.PRNGKey(0))
+    if cfg.get("hf_t5_path"):
+        model, params, vocab = load_pretrained_t5(cfg["hf_t5_path"], a)
+        src_vocab = tgt_vocab = vocab
+    else:
+        src_vocab = Vocab.load(os.path.join(model_dir, "src_vocab.json"))
+        tgt_vocab = Vocab.load(os.path.join(model_dir, "tgt_vocab.json"))
+        model = build_model(cfg["arch"], len(src_vocab), len(tgt_vocab), a)
+        params = model.init(jax.random.PRNGKey(0))
     with open(os.path.join(model_dir, "params.msgpack"), "rb") as f:
         params = serialization.from_bytes(params, f.read())
     return model, params, src_vocab, tgt_vocab
@@ -181,11 +280,15 @@ def decode_beams(model, params, src_vocab, tgt_vocab, pairs, args):
     )
     bs = min(args.batch_size, len(pairs))
 
+    bos_id, eos_id, pad_id = specials_for(
+        "t5" if isinstance(model, T5Seq2Seq) else "word"
+    )
+
     @jax.jit
     def decode(params, s, sm):
         return beam_search(
             model, params, s, sm, beam_size=args.beam_size,
-            max_len=args.max_tgt_len,
+            max_len=args.max_tgt_len, bos=bos_id, eos=eos_id, pad=pad_id,
         )
 
     for i in range(0, len(pairs), bs):
@@ -254,8 +357,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--func", choices=["train", "predict", "check_valid"],
                    required=True)
-    p.add_argument("--arch", choices=["lstm", "transformer"],
+    p.add_argument("--arch", choices=["lstm", "transformer", "t5"],
                    default="transformer")
+    p.add_argument("--hf-t5-path", default=None,
+                   help="local HF Flan-T5 checkpoint dir: run the "
+                        "reference's pretrained-parser recipe "
+                        "(hf_program_parser.py:142-205)")
     p.add_argument("--train-filename")
     p.add_argument("--valid-filename", default=None)
     p.add_argument("--test-filename")

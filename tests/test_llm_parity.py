@@ -177,3 +177,63 @@ def test_kv_cache_decode_matches_full_forward():
     np.testing.assert_allclose(
         np.asarray(logits), full[:, L], rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("ff,tied", [("relu", True), ("gated-gelu", False)])
+def test_t5_logits_parity(ff, tied):
+    """T5Seq2Seq matches transformers' T5 (v1.0 relu/tied and v1.1/Flan
+    gated-gelu/untied — the reference's Flan-T5-Large parser recipe,
+    ref hf_program_parser.py:142-205)."""
+    import torch
+    from transformers import T5Config as HFT5Config
+    from transformers import T5ForConditionalGeneration
+
+    from stair_tpu.llm.import_weights import import_t5, t5_config_from_hf
+    from stair_tpu.seq2seq.t5 import T5Seq2Seq
+
+    hf_cfg = HFT5Config(
+        vocab_size=111, d_model=48, d_kv=12, num_heads=4, num_layers=2,
+        num_decoder_layers=2, d_ff=96, dropout_rate=0.0,
+        feed_forward_proj=ff, tie_word_embeddings=tied,
+        relative_attention_num_buckets=8, relative_attention_max_distance=20,
+    )
+    torch.manual_seed(3)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = t5_config_from_hf(hf_cfg)
+    params = import_t5(hf.state_dict())
+    model = T5Seq2Seq(cfg)
+
+    src = np.array([[5, 9, 14, 3, 0, 0], [8, 2, 7, 9, 3, 1]], np.int32)
+    src_mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], np.float32)
+    tgt_in = np.array([[0, 4, 17, 30], [0, 9, 2, 5]], np.int32)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(src, dtype=torch.long),
+            attention_mask=torch.tensor(src_mask, dtype=torch.long),
+            decoder_input_ids=torch.tensor(tgt_in, dtype=torch.long),
+        ).logits.numpy()
+    mine = np.asarray(model.logits(
+        params, jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(tgt_in)
+    ))
+    np.testing.assert_allclose(mine, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_t5_beam_decodes():
+    """beam_search drives T5 through the incremental interface with the
+    sentencepiece special ids (bos=pad=0, eos=1)."""
+    from stair_tpu.seq2seq.beam import beam_search
+    from stair_tpu.seq2seq.t5 import T5Config, T5Seq2Seq
+
+    cfg = T5Config(vocab_size=32, d_model=16, d_kv=4, num_heads=2,
+                   num_layers=1, num_decoder_layers=1, d_ff=32,
+                   max_src_len=8, max_tgt_len=6)
+    model = T5Seq2Seq(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    src = np.array([[4, 7, 9, 2, 0, 0, 0, 0]], np.int32)
+    sm = (src != 0).astype(np.float32)
+    tokens, scores = beam_search(
+        model, params, jnp.asarray(src), jnp.asarray(sm),
+        beam_size=3, max_len=6, bos=0, eos=1, pad=0,
+    )
+    assert tokens.shape == (1, 3, 6)
+    assert np.all(np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1])
