@@ -1,0 +1,103 @@
+"""Microbenchmark: NMN train step at the VERDICT target shape.
+
+B=128, H=512, F=64, bf16 (the REPORT.md roofline shape). Uses the axon
+timing recipe: N chained iterations inside ONE jit (lax.scan with a real
+data dependency) and a single block, so tunnel latency and dispatch async
+don't pollute the numbers.
+
+Usage: python scripts/bench_train_step.py [--iters 8] [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stair_tpu.testing import workload
+from stair_tpu.train.losses import total_loss
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--no-dropout", action="store_true")
+    ap.add_argument("--encoder", default=None)
+    args = ap.parse_args()
+
+    cfg = workload.workload_config(
+        hidden_size=args.hidden, video_size=1024,
+        max_video_length=args.frames,
+    )
+    over = {"compute_dtype": args.dtype}
+    if args.no_dropout:
+        over["dropout"] = 0.0
+    if args.encoder:
+        over["encoder"] = args.encoder
+    cfg = type(cfg)(**{**cfg.to_dict(), **over})
+    model, params = workload.build_model(cfg)
+    batch = workload.make_batch(cfg, batch_size=args.batch)
+    batch = workload.add_fake_supervision(batch, cfg)
+    batch = jax.device_put(batch)
+    params = jax.device_put(params)
+    optimizer = optax.adam(1e-4)
+    opt_state = jax.jit(optimizer.init)(params)
+
+    def loss_fn(p, rng):
+        return total_loss(
+            model, p, batch, rng, 1.0, 1.0,
+            jnp.float32(1.0), jnp.float32(1.0), deterministic=False,
+        )[0]
+
+    if args.fwd_only:
+        def one(p, opt_state, rng):
+            return p, opt_state, loss_fn(p, rng)
+    else:
+        def one(p, opt_state, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(p, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+    @jax.jit
+    def chained(params, opt_state, rng):
+        def body(carry, i):
+            p, s, r = carry
+            r = jax.random.fold_in(r, i)
+            p, s, loss = one(p, s, r)
+            return (p, s, r), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, rng), jnp.arange(args.iters)
+        )
+        return params, opt_state, losses
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    p2, s2, losses = chained(params, opt_state, rng)
+    jax.block_until_ready(losses)
+    compile_and_run = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    p2, s2, losses = chained(params, opt_state, rng)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    per_step = dt / args.iters
+    print(f"compile+first: {compile_and_run:.1f}s")
+    print(f"{'fwd' if args.fwd_only else 'train'} step @ B={args.batch} "
+          f"H={args.hidden} F={args.frames} {args.dtype}: "
+          f"{per_step * 1e3:.1f} ms/step "
+          f"({args.batch / per_step:.0f} q/s), losses[-1]={losses[-1]:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,25 @@ def cosine(x, y, axis=-1):
     return (dot / jnp.maximum(nx * ny, COS_EPS)).astype(x.dtype)
 
 
+def cosine_matrix(x, y):
+    """All-pairs cosine: x [K, H], y [F, H] -> [K, F].
+
+    Same math as ``cosine(x[:, None], y[None, :])`` but the dot products run
+    as ONE [K, H] @ [H, F] MXU matmul instead of a broadcast
+    multiply-reduce that materializes (or at best streams) a [K, F, H]
+    intermediate — the executor calls this with K = F = 64, where the
+    broadcast form cost ~30 ms/step in the backward pass.
+    """
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    dot = xf @ yf.T                                      # [K, F]
+    nx = jnp.sqrt(jnp.sum(xf * xf, axis=-1))
+    ny = jnp.sqrt(jnp.sum(yf * yf, axis=-1))
+    return (dot / jnp.maximum(nx[:, None] * ny[None, :], COS_EPS)).astype(
+        x.dtype
+    )
+
+
 def masked_softmax(x, mask, axis=-1):
     x = jnp.where(mask, x, -jnp.inf)
     x = x - jax.lax.stop_gradient(jnp.max(x, axis=axis, keepdims=True))
@@ -158,7 +177,7 @@ def localize_scores(p, frames, keywords, mask, rate, rng, deterministic):
     h = dropout(jax.nn.relu(linear(p["v1"], frames)), rate, rng, deterministic)
     feat = linear(p["v2"], h)                       # [F, H]
     kw = linear(p["k"], keywords)                   # [K, H]
-    scores = cosine(feat[None, :, :], kw[:, None, :])   # [K, F]
+    scores = cosine_matrix(kw, feat)                # [K, F]
     return (scores + 1.0) * 0.49 * mask[None, :]
 
 
@@ -194,6 +213,25 @@ def _conv1d_same(x, w, b):
     return out + b
 
 
+def conv1d_same_matrix(w, length):
+    """[length, length] banded matrix T with ``T @ x == _conv1d_same(x, w)``
+    (bias excluded).
+
+    XLA lowers tiny odd-shaped 1-D convolutions poorly on TPU; as a banded
+    matmul the same op rides the MXU and — because ``w`` is loop-invariant —
+    the matrix build hoists out of the executor scan. Cross-correlation
+    (torch Conv1d semantics): ``out[i] = sum_u x[u] * w[u-i+left]`` for
+    ``0 <= u-i+left < k``.
+    """
+    k = w.shape[0]
+    left = (k - 1) // 2
+    i = jnp.arange(length)[:, None]
+    u = jnp.arange(length)[None, :]
+    j = u - i + left
+    valid = (j >= 0) & (j < k)
+    return jnp.where(valid, w[jnp.clip(j, 0, k - 1)], 0.0)
+
+
 def temporal_related_attn(p, mode, attn_mean, conv_mode: bool):
     """The gated temporal attention (ref modules.py:251-325).
 
@@ -202,9 +240,13 @@ def temporal_related_attn(p, mode, attn_mean, conv_mode: bool):
     """
     midx = jnp.maximum(mode - 1, 0)
     if conv_mode:
-        h = jax.nn.relu(_conv1d_same(attn_mean, p["c1_w"][midx], p["c1_b"][midx]))
-        h = jax.nn.relu(_conv1d_same(h, p["c2_w"][midx], p["c2_b"][midx]))
-        out = jax.nn.sigmoid(_conv1d_same(h, p["c3_w"][midx], p["c3_b"][midx]))
+        F = attn_mean.shape[-1]
+        t1 = jax.vmap(lambda w: conv1d_same_matrix(w, F))(p["c1_w"])[midx]
+        t2 = jax.vmap(lambda w: conv1d_same_matrix(w, F))(p["c2_w"])[midx]
+        t3 = jax.vmap(lambda w: conv1d_same_matrix(w, F))(p["c3_w"])[midx]
+        h = jax.nn.relu(t1 @ attn_mean + p["c1_b"][midx])
+        h = jax.nn.relu(t2 @ h + p["c2_b"][midx])
+        out = jax.nn.sigmoid(t3 @ h + p["c3_b"][midx])
     else:
         h = jax.nn.relu(attn_mean @ p["l1_w"][midx] + p["l1_b"][midx])
         h = jax.nn.relu(h @ p["l2_w"][midx] + p["l2_b"][midx])

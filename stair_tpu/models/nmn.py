@@ -29,7 +29,15 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from stair_tpu.ir.lowering import Opcode
+
+#: Comma-separated ablation switches for perf triage (bench-only, not a
+#: user-facing feature): filter, locsup, temporal.
+_ABLATE = frozenset(
+    s for s in _os.environ.get("STAIR_ABLATE", "").split(",") if s
+)
 from stair_tpu.models import modules as M
 from stair_tpu.ops.lstm import (
     bilstm,
@@ -149,15 +157,17 @@ class VideoNMN:
     # -- the executor --------------------------------------------------------
 
     def _fused_tables(self, mods):
-        """Stack the filter-family weights for gathered-index dispatch.
+        """Stack the filter-family weights for expert-grouped dispatch.
 
         FILTER_V/FILTER_K/FILTERFRAME_V/FILTERFRAME_K all start with the same
         2-layer frames MLP, differing only in which weights they use. Rather
         than computing four full MLP paths per step and selecting one (the
-        naive compute-all cost), the executor gathers each example's weight
-        matrices by (opcode, mode) and runs ONE batched einsum — the MoE
-        dense-dispatch trick. Table rows: [filter.repr, filter.kw x3,
-        ff.repr, ff.kw x3].
+        naive compute-all cost), the executor sorts the batch by expert index
+        and runs ONE ``lax.ragged_dot`` grouped matmul per layer against this
+        table — the MoE segment-matmul trick. (A per-example weight gather
+        [B, H, H] was ~240x slower on TPU: it moves B copies of the weight
+        matrices through HBM every step.) Table rows: [filter.repr,
+        filter.kw x3, ff.repr, ff.kw x3].
         """
         f, ff = mods["filter"], mods["filterframe"]
 
@@ -213,8 +223,12 @@ class VideoNMN:
         is_parity = cfg.filter_attention == "parity"
 
         def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx,
-                     aux):
-            """One instruction on one example (vmapped over the batch)."""
+                     aux, filter_vec, ff_frames):
+            """One instruction on one example (vmapped over the batch).
+
+            ``filter_vec``/``ff_frames`` arrive precomputed from the batched
+            expert-grouped filter-family pass (see ``filter_family`` below).
+            """
             rv, rf, ra = regs
             op = instr["opcode"]
             srng = jax.random.fold_in(ex_rng, step_idx)
@@ -241,85 +255,38 @@ class VideoNMN:
             pair = jnp.stack([va, vb])                     # [2, H]
             pair_mask = jnp.arange(2) < count
 
-            # --- fused filter-family MLP (gathered weights) ---------------
-            is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
-                op == int(Opcode.FILTERFRAME_K)
-            )
-            is_kw = (op == int(Opcode.FILTER_K)) | (
-                op == int(Opcode.FILTERFRAME_K)
-            )
-            midx = (
-                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0)
-            )
-            r1, r2 = rngs[5], rngs[7]
-            h = M.dropout(
-                jax.nn.relu(fa @ tables["w1"][midx] + tables["b1"][midx]),
-                rate, r1, deterministic,
-            )
-            feat = M.dropout(
-                jax.nn.relu(h @ tables["w2"][midx] + tables["b2"][midx]),
-                rate, r2, deterministic,
-            )                                              # [F, H]
-            dense_w = tables["dense_w"][is_ff.astype(jnp.int32)]
-            dense_b = tables["dense_b"][is_ff.astype(jnp.int32)]
-            # Filter pooling: parity = uniform sum over valid frames
-            # (the reference's degenerate softmax); 'softmax' = corrected.
-            if is_parity:
-                weights = vmask[:, None]
-            else:
-                fk = jnp.concatenate(
-                    [feat, jnp.broadcast_to(va[None, :], feat.shape)], axis=1
-                )
-                logits = (fk @ mods["filter"]["attn_w"]
-                          + mods["filter"]["attn_b"])[:, 0]
-                soft = M.masked_softmax(logits, vmask)[:, None]
-                weights = jnp.where(
-                    op == int(Opcode.FILTER_V), soft, vmask[:, None]
-                )
-            pooled = jnp.sum(weights * feat * vmask[:, None], axis=0)
-            filter_vec = jax.nn.relu(pooled @ dense_w + dense_b)
-            # FilterFrame: per-frame sigmoid gate (vec path) or identity.
-            ffk = jnp.concatenate(
-                [feat, jnp.broadcast_to(va[None, :], feat.shape)], axis=1
-            )
-            gate = jax.nn.sigmoid(
-                ffk @ mods["filterframe"]["attn_w"]
-                + mods["filterframe"]["attn_b"]
-            )                                              # [F, 1]
-            gate = jnp.where(op == int(Opcode.FILTERFRAME_V), gate, 1.0)
-            ff_frames = M.dropout(
-                jax.nn.relu((gate * feat) @ dense_w + dense_b),
-                rate, rngs[9], deterministic,
-            ) * vmask[:, None]
-
             # --- shared Localize projection -------------------------------
             # video_linear(fa) feeds LOCALIZE and both Superlative variants.
             loc = mods["localize"]
-            vfeat = M.linear(
-                loc["v2"],
-                M.dropout(jax.nn.relu(M.linear(loc["v1"], fa)), rate,
-                          rngs[8], deterministic),
-            )                                              # [F, H]
-            kw_pair = M.linear(loc["k"], pair)             # [2, H]
-            loc_scores = (M.cosine(
-                vfeat[None, :, :], kw_pair[:, None, :]
-            ) + 1.0) * 0.49 * vmask[None, :]               # [2, F]
+            if "locsup" in _ABLATE:
+                loc_scores = jnp.zeros((2, F), dt)
+                sup_v = sup_f = jnp.zeros((H,), dt)
+            else:
+                vfeat = M.linear(
+                    loc["v2"],
+                    M.dropout(jax.nn.relu(M.linear(loc["v1"], fa)), rate,
+                              rngs[8], deterministic),
+                )                                          # [F, H]
+                kw_pair = M.linear(loc["k"], pair)         # [2, H]
+                loc_scores = (M.cosine_matrix(
+                    kw_pair, vfeat
+                ) + 1.0) * 0.49 * vmask[None, :]           # [2, F]
 
-            sup = mods["superlative"]
+                sup = mods["superlative"]
 
-            def superlative(scores, actions, a_mask):
-                row = jnp.sum(scores * vmask[None, :], axis=1)
-                w = M.masked_softmax(row, a_mask, axis=0)
-                w = jnp.where(mode == 1, 1.0 - w, w) * a_mask
-                pooled = jnp.sum(w[:, None] * actions, axis=0)
-                return jax.nn.relu(M.linear(sup["dense"], pooled))
+                def superlative(scores, actions, a_mask):
+                    row = jnp.sum(scores * vmask[None, :], axis=1)
+                    w = M.masked_softmax(row, a_mask, axis=0)
+                    w = jnp.where(mode == 1, 1.0 - w, w) * a_mask
+                    pooled = jnp.sum(w[:, None] * actions, axis=0)
+                    return jax.nn.relu(M.linear(sup["dense"], pooled))
 
-            sup_v = superlative(loc_scores, pair, pair_mask)
-            kw_f = M.linear(loc["k"], fb)                  # [F, H]
-            scores_f = (M.cosine(
-                vfeat[None, :, :], kw_f[:, None, :]
-            ) + 1.0) * 0.49 * vmask[None, :]               # [F, F]
-            sup_f = superlative(scores_f, fb, vmask > 0)
+                sup_v = superlative(loc_scores, pair, pair_mask)
+                kw_f = M.linear(loc["k"], fb)              # [F, H]
+                scores_f = (M.cosine_matrix(
+                    kw_f, vfeat
+                ) + 1.0) * 0.49 * vmask[None, :]           # [F, F]
+                sup_f = superlative(scores_f, fb, vmask > 0)
 
             # --- cheap vec ops --------------------------------------------
             vec_cands = [
@@ -344,10 +311,14 @@ class VideoNMN:
 
             # --- frames candidates ----------------------------------------
             attn_mean = jnp.where(count == 2, (aa + ab) / 2.0, aa)
-            temporal_out, temporal_rel = M.temporal_module(
-                mods["temporal"], mode, fa, attn_mean, vmask,
-                cfg.conv_temporal, rate, rngs[6], deterministic,
-            )
+            if "temporal" in _ABLATE:
+                temporal_out = jnp.zeros((F, H), dt)
+                temporal_rel = jnp.zeros((F,), dt)
+            else:
+                temporal_out, temporal_rel = M.temporal_module(
+                    mods["temporal"], mode, fa, attn_mean, vmask,
+                    cfg.conv_temporal, rate, rngs[6], deterministic,
+                )
             frames_cands = [
                 (Opcode.TEMPORAL, temporal_out),
                 (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
@@ -380,16 +351,118 @@ class VideoNMN:
             ra = ra.at[instr["out_attn_b"]].set(new_attn_b.astype(dt))
             return rv, rf, ra
 
+        def filter_family(regs, instr, srng):
+            """Batched filter-family MLP via expert-grouped matmuls.
+
+            Sorts the batch by expert index (opcode x type-keyword: 8 table
+            rows) and runs each layer as ONE ``lax.ragged_dot`` against the
+            stacked weight table, instead of gathering a per-example [H, H]
+            weight matrix (which moves B weight copies through HBM per step
+            — measured ~240x slower at B=128/H=512). The midx sort orders
+            filter experts (0-3) before filterframe experts (4-7), so the
+            2-row dense table groups with the same permutation.
+            """
+            if "filter" in _ABLATE:
+                return (jnp.zeros((B, H), dt), jnp.zeros((B, F, H), dt))
+            rv, rf, _ = regs
+            bidx = jnp.arange(B)
+            op = instr["opcode"]
+            mode = instr["mode"]
+            fa = rf[bidx, instr["fa"]]                     # [B, F, H]
+            va = rv[bidx, instr["va"]]                     # [B, H]
+            is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
+                op == int(Opcode.FILTERFRAME_K)
+            )
+            is_kw = (op == int(Opcode.FILTER_K)) | (
+                op == int(Opcode.FILTERFRAME_K)
+            )
+            midx = jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0)
+
+            perm = jnp.argsort(midx)
+            inv = jnp.argsort(perm)
+            m_s = midx[perm]
+            fa_s = fa[perm]
+            va_s = va[perm]
+            vm_s = jnp.asarray(video_mask)[perm]
+            op_s = op[perm]
+            gs = jnp.bincount(midx, length=8).astype(jnp.int32)
+            r1, r2, r3 = jax.random.split(srng, 3)
+
+            def grouped(x, table, groups):
+                return jax.lax.ragged_dot(
+                    x, table, groups, preferred_element_type=jnp.float32
+                ).astype(dt)
+
+            h = grouped(
+                fa_s.reshape(B * F, H), tables["w1"], gs * F
+            ).reshape(B, F, H) + tables["b1"][m_s][:, None, :]
+            h = M.dropout(jax.nn.relu(h), rate, r1, deterministic)
+            feat = grouped(
+                h.reshape(B * F, H), tables["w2"], gs * F
+            ).reshape(B, F, H) + tables["b2"][m_s][:, None, :]
+            feat = M.dropout(jax.nn.relu(feat), rate, r2, deterministic)
+
+            n_filter = jnp.sum(gs[:4]).astype(jnp.int32)
+            gs2 = jnp.stack([n_filter, jnp.int32(B) - n_filter])
+            dense_b = tables["dense_b"][is_ff[perm].astype(jnp.int32)]
+
+            # Filter pooling: parity = uniform sum over valid frames
+            # (the reference's degenerate softmax); 'softmax' = corrected.
+            if is_parity:
+                weights = vm_s[:, :, None]
+            else:
+                fk = jnp.concatenate(
+                    [feat, jnp.broadcast_to(va_s[:, None, :], feat.shape)],
+                    axis=-1,
+                )
+                logits = (fk @ mods["filter"]["attn_w"]
+                          + mods["filter"]["attn_b"])[..., 0]
+                soft = M.masked_softmax(logits, vm_s > 0, axis=-1)
+                weights = jnp.where(
+                    (op_s == int(Opcode.FILTER_V))[:, None, None],
+                    soft[:, :, None], vm_s[:, :, None],
+                )
+            pooled = jnp.sum(weights * feat * vm_s[:, :, None], axis=1)
+            filter_vec = jax.nn.relu(
+                grouped(pooled, tables["dense_w"], gs2) + dense_b
+            )
+            # FilterFrame: per-frame sigmoid gate (vec path) or identity.
+            ffk = jnp.concatenate(
+                [feat, jnp.broadcast_to(va_s[:, None, :], feat.shape)],
+                axis=-1,
+            )
+            gate = jax.nn.sigmoid(
+                ffk @ mods["filterframe"]["attn_w"]
+                + mods["filterframe"]["attn_b"]
+            )                                              # [B, F, 1]
+            gate = jnp.where(
+                (op_s == int(Opcode.FILTERFRAME_V))[:, None, None], gate, 1.0
+            )
+            ff_frames = M.dropout(
+                jax.nn.relu(
+                    grouped(
+                        (gate * feat).reshape(B * F, H),
+                        tables["dense_w"], gs2 * F,
+                    ).reshape(B, F, H) + dense_b[:, None, :]
+                ), rate, r3, deterministic,
+            ) * vm_s[:, :, None]
+
+            return filter_vec[inv], ff_frames[inv]
+
         batched_step = jax.vmap(
             step_one,
-            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0),
+            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0, 0),
         )
+        filter_rng = jax.random.fold_in(rng, 0x5f17)
 
         def scan_body(regs, scanned):
             instr_t, t, aux_t = scanned
+            filter_vec, ff_frames = filter_family(
+                regs, instr_t, jax.random.fold_in(filter_rng, t)
+            )
             new_regs = batched_step(
                 regs, instr_t, video_mask, token_features, token_mask,
-                example_rngs, t, aux_t,
+                example_rngs, t, aux_t, filter_vec, ff_frames,
             )
             return new_regs, None
 
@@ -426,12 +499,19 @@ class VideoNMN:
         else:
             r_exec, r_dec = jax.random.split(rng)
 
-        video_frames = self.encode_video(
-            params, batch["video"], batch["video_mask"]
-        )
-        token_features, question_feature = self.encode_question(
-            params, batch["question"], batch["question_mask"]
-        )
+        if "encoders" in _ABLATE:
+            B_, F_ = batch["video"].shape[:2]
+            L_ = batch["question"].shape[1]
+            video_frames = jnp.zeros((B_, F_, cfg.hidden_size))
+            token_features = jnp.zeros((B_, L_, cfg.hidden_size))
+            question_feature = jnp.zeros((B_, cfg.hidden_size))
+        else:
+            video_frames = self.encode_video(
+                params, batch["video"], batch["video_mask"]
+            )
+            token_features, question_feature = self.encode_question(
+                params, batch["question"], batch["question_mask"]
+            )
         aux_vec = None
         if batch.get("aux_emb") is not None:
             ae = batch["aux_emb"]

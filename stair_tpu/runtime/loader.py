@@ -151,12 +151,14 @@ def parser_lib():
             )
         lib = ctypes.CDLL(_PARSER_LIB)
         lib.stair_parser_version.restype = ctypes.c_int
-        assert lib.stair_parser_version() == 2
+        assert lib.stair_parser_version() == 3
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.stair_parse_lower_batch.argtypes = [
-            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, i64p,             # programs
+            ctypes.c_char_p, ctypes.c_void_p,  # questions (nullable)
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             i32p, u8p, i32p, u8p, ctypes.c_int,
         ]
         _parser_lib = lib
@@ -165,16 +167,29 @@ def parser_lib():
     return _parser_lib
 
 
+def _pack_strings(strings: list[str]):
+    blob = b"\0".join(s.encode() for s in strings) + b"\0"
+    offsets = np.zeros((len(strings),), np.int64)
+    pos = 0
+    for i, s in enumerate(strings):
+        offsets[i] = pos
+        pos += len(s.encode()) + 1
+    return blob, offsets
+
+
 def native_parse_lower_batch(
     programs: list[str], max_steps: int, num_vec: int, num_frames: int,
     num_attn: int, threads: int | None = None,
+    questions: list[str] | None = None, aux_missing: bool = False,
 ):
     """Parse+lower a batch of annotation strings natively.
 
     Returns a TraceBatch (same contract as ``pad_traces``), falling back to
     the Python pipeline per program when the native parser reports an
-    unsupported construct. Spans are not linked (whole-question mean).
-    Returns None if the native library is unavailable.
+    unsupported construct. With ``questions``, free-text arguments are
+    span-linked to question tokens in C++ (utils/agqa_lite.py:62-119
+    semantics via the text.py fallback rules); without, they lower to the
+    whole-question mean. Returns None if the native library is unavailable.
     """
     from stair_tpu.ir.lowering import (
         _INT_FIELDS,
@@ -188,19 +203,20 @@ def native_parse_lower_batch(
     if lib is None:
         return None
     B = len(programs)
-    blob = b"\0".join(p.encode() for p in programs) + b"\0"
-    offsets = np.zeros((B,), np.int64)
-    pos = 0
-    for i, p in enumerate(programs):
-        offsets[i] = pos
-        pos += len(p.encode()) + 1
+    blob, offsets = _pack_strings(programs)
+    q_blob, q_offsets = (
+        _pack_strings(questions) if questions is not None else (None, None)
+    )
     nf = len(_INT_FIELDS)
     fields3 = np.zeros((B, max_steps, nf), np.int32)
     supervised = np.zeros((B, max_steps), np.uint8)
     meta = np.zeros((B, 6), np.int32)
     ok = np.zeros((B,), np.uint8)
     lib.stair_parse_lower_batch(
-        blob, offsets, B, max_steps, fields3, supervised, meta, ok,
+        blob, offsets, q_blob,
+        q_offsets.ctypes.data if q_offsets is not None else None,
+        B, max_steps, 1 if aux_missing else 0,
+        fields3, supervised, meta, ok,
         threads or DEFAULT_THREADS,
     )
 
@@ -217,7 +233,17 @@ def native_parse_lower_batch(
     for b in np.nonzero(~fits)[0]:
         # Python fallback (also raises clean errors on bad programs).
         parsed = parse_nmn_program(programs[b])
-        tr = lower_program(parsed.tokens, parsed.source_index, {})
+        span_by_word = None
+        if questions is not None:
+            from stair_tpu.programs.spans import link_program_spans
+
+            span_by_word, _ = link_program_spans(
+                parsed.tokens, questions[b]
+            )
+        tr = lower_program(
+            parsed.tokens, parsed.source_index, span_by_word or {},
+            aux_text_for_missing_spans=aux_missing,
+        )
         T = len(tr.instrs)
         if T > max_steps:
             raise ValueError(f"trace has {T} steps > max_steps={max_steps}")

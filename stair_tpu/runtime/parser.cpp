@@ -5,16 +5,19 @@
 // stair_tpu/programs/parser.py (tokenize + rewrites) and
 // stair_tpu/ir/lowering.py (kind-tracked lowering to field matrices) — and is
 // validated against it by tests/test_native_parser.py over every program the
-// synthetic worlds and template corpora produce. Spans are not linked here
-// (that needs the lemmatizer); free-text arguments lower to the
-// whole-question-mean sentinel (-1), matching the Python path when no span
-// dict is supplied. Programs outside the supported kind system return an
-// error and the caller falls back to Python.
+// synthetic worlds and template corpora produce. When question text is
+// supplied, free-text arguments are span-linked to question tokens with a
+// port of the deterministic lemma-matching pipeline
+// (stair_tpu/programs/spans.py + text.py fallback; reference semantics
+// utils/agqa_lite.py:62-119); without questions they lower to the
+// whole-question-mean sentinel (-1). Programs outside the supported kind
+// system return an error and the caller falls back to Python.
 //
 // Build: g++ -O3 -shared -fPIC -pthread parser.cpp -o _parser.so
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <map>
@@ -322,6 +325,304 @@ bool RewriteCompare(std::vector<Cell>* prog) {
   return true;
 }
 
+// ---- question span linking --------------------------------------------------
+// Port of stair_tpu/programs/spans.py + the deterministic fallback text
+// pipeline in stair_tpu/programs/text.py (regex word tokenizer, suffix
+// POS tagger, rule lemmatizer). Mirrors the reference span semantics
+// (utils/agqa_lite.py:62-119) exactly as the Python fallback implements
+// them — including the exclusive-last-start quirk of _find_subsequence.
+namespace spanlink {
+
+inline bool WordChar(char c) {
+  return std::isalnum(static_cast<unsigned char>(c)) || c == '_';
+}
+
+inline std::string Lower(const std::string& s) {
+  std::string out(s);
+  for (auto& c : out) c = std::tolower(static_cast<unsigned char>(c));
+  return out;
+}
+
+const char* kContractions[] = {"n't", "'ll", "'re", "'ve", "'s", "'m", "'d"};
+
+bool SuffixAt(const std::string& chunk, size_t p, const char* sfx,
+              size_t* sfx_len) {
+  size_t n = std::strlen(sfx);
+  if (p + n > chunk.size()) return false;
+  for (size_t i = 0; i < n; ++i) {
+    char a = std::tolower(static_cast<unsigned char>(chunk[p + i]));
+    if (a != sfx[i]) return false;
+  }
+  if (p + n < chunk.size() && WordChar(chunk[p + n])) return false;  // \b
+  *sfx_len = n;
+  return true;
+}
+
+void RegexTokens(const std::string& s, std::vector<std::string>* out) {
+  // \w+|[^\w\s] scan.
+  size_t i = 0;
+  while (i < s.size()) {
+    char c = s[i];
+    if (std::isspace(static_cast<unsigned char>(c))) { ++i; continue; }
+    if (WordChar(c)) {
+      size_t j = i;
+      while (j < s.size() && WordChar(s[j])) ++j;
+      out->push_back(s.substr(i, j - i));
+      i = j;
+    } else {
+      out->push_back(s.substr(i, 1));
+      ++i;
+    }
+  }
+}
+
+std::vector<std::string> TextTokenize(const std::string& sentence) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < sentence.size()) {
+    while (i < sentence.size() &&
+           std::isspace(static_cast<unsigned char>(sentence[i]))) ++i;
+    size_t j = i;
+    while (j < sentence.size() &&
+           !std::isspace(static_cast<unsigned char>(sentence[j]))) ++j;
+    if (j == i) break;
+    std::string chunk = sentence.substr(i, j - i);
+    i = j;
+    // re.match(r"(?i)\b(\w+)(n't|'ll|'re|'ve|'s|'m|'d)\b", chunk): greedy
+    // \w+ -> take the LARGEST split point whose suffix matches.
+    size_t best_p = 0, best_sfx = 0;
+    if (!chunk.empty() && WordChar(chunk[0])) {
+      size_t wlen = 0;
+      while (wlen < chunk.size() && WordChar(chunk[wlen])) ++wlen;
+      for (size_t p = wlen; p >= 1 && best_p == 0; --p) {
+        for (const char* sfx : kContractions) {
+          size_t n;
+          if (SuffixAt(chunk, p, sfx, &n)) { best_p = p; best_sfx = n; break; }
+        }
+      }
+    }
+    if (best_p > 0) {
+      out.push_back(chunk.substr(0, best_p));
+      out.push_back(chunk.substr(best_p, best_sfx));
+      RegexTokens(chunk.substr(best_p + best_sfx), &out);
+    } else {
+      RegexTokens(chunk, &out);
+    }
+  }
+  return out;
+}
+
+// text.py:_FUNCTION_WORDS (word -> POS tag).
+const std::map<std::string, std::string> kFunctionWords = {
+    {"the", "DT"}, {"a", "DT"}, {"an", "DT"}, {"some", "DT"}, {"this", "DT"},
+    {"that", "DT"}, {"these", "DT"}, {"those", "DT"},
+    {"they", "PRP"}, {"he", "PRP"}, {"she", "PRP"}, {"it", "PRP"},
+    {"i", "PRP"}, {"we", "PRP"}, {"you", "PRP"}, {"person", "NN"},
+    {"in", "IN"}, {"on", "IN"}, {"at", "IN"}, {"of", "IN"}, {"to", "TO"},
+    {"before", "IN"}, {"after", "IN"}, {"while", "IN"}, {"between", "IN"},
+    {"and", "CC"}, {"or", "CC"}, {"but", "CC"},
+    {"did", "VBD"}, {"do", "VB"}, {"does", "VBZ"}, {"was", "VBD"},
+    {"were", "VBD"}, {"is", "VBZ"}, {"are", "VBP"}, {"be", "VB"},
+    {"been", "VBN"},
+    {"which", "WDT"}, {"what", "WP"}, {"who", "WP"}, {"how", "WRB"},
+    {"when", "WRB"}, {"where", "WRB"}, {"why", "WRB"},
+    {"first", "JJ"}, {"last", "JJ"}, {"longest", "JJS"}, {"shortest", "JJS"},
+    {"not", "RB"}, {"no", "DT"}, {"yes", "UH"},
+    {"their", "PRP$"}, {"his", "PRP$"}, {"her", "PRP$"}, {"its", "PRP$"},
+    {"?", "."}, {".", "."}, {",", ","},
+};
+
+const std::set<std::string> kIrregularVerbs = {
+    "took", "held", "ate", "sat", "stood", "threw", "put", "ran", "lay",
+    "went", "drank", "began", "got", "left", "made", "opened", "closed"};
+
+bool EndsWith(const std::string& s, const char* sfx) {
+  size_t n = std::strlen(sfx);
+  return s.size() >= n && s.compare(s.size() - n, n, sfx) == 0;
+}
+
+std::string PosTag(const std::string& word) {
+  std::string lw = Lower(word);
+  auto it = kFunctionWords.find(lw);
+  if (it != kFunctionWords.end()) return it->second;
+  if (kIrregularVerbs.count(lw)) return "VBD";
+  if (EndsWith(lw, "ing")) return "VBG";
+  if (EndsWith(lw, "ed")) return "VBD";
+  if (EndsWith(lw, "ly")) return "RB";
+  if (EndsWith(lw, "est")) return "JJS";
+  return "NN";
+}
+
+// text.py:_VERB_LEMMAS / _NOUN_LEMMAS.
+const std::map<std::string, std::string> kVerbLemmas = {
+    {"took", "take"}, {"taken", "take"}, {"taking", "take"},
+    {"held", "hold"}, {"holding", "hold"},
+    {"ate", "eat"}, {"eaten", "eat"}, {"eating", "eat"},
+    {"sat", "sit"}, {"sitting", "sit"},
+    {"stood", "stand"}, {"standing", "stand"},
+    {"threw", "throw"}, {"thrown", "throw"}, {"throwing", "throw"},
+    {"putting", "put"}, {"ran", "run"}, {"running", "run"},
+    {"lay", "lie"}, {"lying", "lie"}, {"laying", "lay"},
+    {"went", "go"}, {"going", "go"}, {"gone", "go"},
+    {"drank", "drink"}, {"drunk", "drink"}, {"drinking", "drink"},
+    {"began", "begin"}, {"begun", "begin"}, {"beginning", "begin"},
+    {"got", "get"}, {"gotten", "get"}, {"getting", "get"},
+    {"left", "leave"}, {"leaving", "leave"},
+    {"made", "make"}, {"making", "make"},
+    {"was", "be"}, {"were", "be"}, {"is", "be"}, {"are", "be"},
+    {"been", "be"},
+    {"did", "do"}, {"done", "do"}, {"doing", "do"},
+    {"had", "have"}, {"has", "have"}, {"having", "have"},
+    {"grasping", "grasp"}, {"snuggling", "snuggle"}, {"smiling", "smile"},
+    {"sneezing", "sneeze"}, {"washing", "wash"}, {"watching", "watch"},
+    {"opening", "open"}, {"closing", "close"}, {"tidying", "tidy"},
+    {"wiping", "wipe"}, {"pouring", "pour"}, {"playing", "play"},
+    {"touching", "touch"}, {"turning", "turn"}, {"walking", "walk"},
+    {"working", "work"}, {"dressing", "dress"}, {"fixing", "fix"},
+    {"awakening", "awaken"}, {"laughing", "laugh"}, {"cooking", "cook"},
+    {"reaching", "reach"}, {"leaning", "lean"}, {"carrying", "carry"},
+    {"covering", "cover"}, {"undressing", "undress"},
+    {"photographing", "photograph"}, {"talking", "talk"},
+    {"looking", "look"}, {"starting", "start"},
+};
+
+const std::map<std::string, std::string> kNounLemmas = {
+    {"dishes", "dish"}, {"boxes", "box"}, {"glasses", "glass"},
+    {"shoes", "shoe"}, {"clothes", "clothes"}, {"groceries", "grocery"},
+    {"shelves", "shelf"}, {"feet", "foot"}, {"children", "child"},
+    {"people", "person"},
+};
+
+inline bool Vowel(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
+}
+
+bool EndsWithAny(const std::string& s,
+                 std::initializer_list<const char*> sfxs) {
+  for (const char* sfx : sfxs)
+    if (EndsWith(s, sfx)) return true;
+  return false;
+}
+
+std::string StripVerbSuffix(const std::string& w) {
+  if (EndsWith(w, "ing") && w.size() > 5) {
+    std::string stem = w.substr(0, w.size() - 3);
+    if (stem.size() >= 3 && stem[stem.size() - 1] == stem[stem.size() - 2] &&
+        !Vowel(stem.back()))
+      return stem.substr(0, stem.size() - 1);
+    if (EndsWithAny(stem, {"at", "iv", "ak", "in", "id", "os", "ut", "ap"}))
+      return stem + "e";
+    return stem;
+  }
+  if (EndsWith(w, "ied") && w.size() > 4) return w.substr(0, w.size() - 3) + "y";
+  if (EndsWith(w, "ed") && w.size() > 4) {
+    std::string stem = w.substr(0, w.size() - 2);
+    if (stem.size() >= 3 && stem[stem.size() - 1] == stem[stem.size() - 2] &&
+        !Vowel(stem.back()))
+      return stem.substr(0, stem.size() - 1);
+    if (EndsWithAny(stem, {"at", "iv", "os", "ut"})) return stem + "e";
+    return stem;
+  }
+  if (EndsWith(w, "s") && !EndsWithAny(w, {"ss", "us", "is"}))
+    return w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string StripNounSuffix(const std::string& w) {
+  if (EndsWith(w, "ies") && w.size() > 4) return w.substr(0, w.size() - 3) + "y";
+  if (EndsWithAny(w, {"ses", "xes", "zes", "ches", "shes"}))
+    return w.substr(0, w.size() - 2);
+  if (EndsWith(w, "s") && !EndsWithAny(w, {"ss", "us", "is"}))
+    return w.substr(0, w.size() - 1);
+  return w;
+}
+
+std::string Lemmatize(const std::string& word, char pos) {
+  std::string lw = Lower(word);
+  if (pos == 'v') {
+    auto it = kVerbLemmas.find(lw);
+    if (it != kVerbLemmas.end()) return it->second;
+    return StripVerbSuffix(lw);
+  }
+  auto it = kNounLemmas.find(lw);
+  if (it != kNounLemmas.end()) return it->second;
+  return StripNounSuffix(lw);
+}
+
+// spans.py:QUESTION_WORD_RULES / PROGRAM_WORD_RULES.
+const std::map<std::string, std::string> kQuestionRules = {
+    {"consume", "eat"}, {"consuming", "eat"}, {"ate", "eat"},
+    {"taking", "take"}, {"sneezing", "sneeze"}, {"drank", "drink"},
+    {"wiping", "wipe"}, {"drinking", "drink"}, {"closing", "close"},
+    {"lay", "lie"},
+};
+const std::map<std::string, std::string> kProgramRules = {
+    {"opening", "open"}, {"closing", "close"}, {"sitting on", "sit"},
+    {"playing on", "play"}, {"drinking", "drink"}, {"putting down", "put"},
+    {"consuming", "eat"},
+};
+
+std::vector<std::string> NormalizeQuestion(const std::string& question) {
+  std::vector<std::string> words = TextTokenize(question);
+  std::vector<std::string> out;
+  out.reserve(words.size());
+  for (auto& w0 : words) {
+    auto r = kQuestionRules.find(w0);
+    const std::string& w = (r != kQuestionRules.end()) ? r->second : w0;
+    std::string tag = EndsWith(w, "ing") ? "V" : PosTag(w);
+    char p = std::tolower(static_cast<unsigned char>(tag[0]));
+    if ((p == 'v' || p == 'n') && w != "clothes") {
+      out.push_back(Lemmatize(w, p));
+    } else {
+      out.push_back(w);
+    }
+  }
+  return out;
+}
+
+std::vector<std::string> NormalizeProgram(const std::string& token) {
+  std::string phrase(token);
+  for (auto& c : phrase)
+    if (c == '_') c = ' ';
+  auto r = kProgramRules.find(phrase);
+  if (r != kProgramRules.end()) phrase = r->second;
+  std::vector<std::string> words = TextTokenize(phrase);
+  std::vector<std::string> out;
+  out.reserve(words.size());
+  for (auto& w0 : words) {
+    auto rw = kProgramRules.find(w0);
+    const std::string& w = (rw != kProgramRules.end()) ? rw->second : w0;
+    std::string tag = PosTag(w);
+    if (tag[0] == 'V' || tag[0] == 'N') {
+      out.push_back(Lemmatize(
+          w, std::tolower(static_cast<unsigned char>(tag[0]))));
+    } else {
+      out.push_back(w);
+    }
+  }
+  return out;
+}
+
+// spans.py:_find_subsequence — note range(len(h) - len(n)): the last legal
+// start position is deliberately excluded (reference parity quirk).
+int FindSubsequence(const std::vector<std::string>& hay,
+                    const std::vector<std::string>& needle) {
+  int limit = static_cast<int>(hay.size()) - static_cast<int>(needle.size());
+  for (int i = 0; i < limit; ++i) {
+    bool ok = true;
+    for (size_t j = 0; j < needle.size(); ++j)
+      if (hay[i + j] != needle[j]) { ok = false; break; }
+    if (ok) return i;
+  }
+  return -1;
+}
+
+}  // namespace spanlink
+
+// Tokens the span linker skips (parser.py ALL_RESERVED members that can
+// reach the PUSH_TEXT branch).
+const std::set<std::string> kSpanSkip = {"frame", "class", "temporal_tag"};
+
 // ---- lowering (lowering.py:lower_program) ----------------------------------
 enum Kind { K_VEC, K_FRAMES, K_ATTN, K_KW };
 struct Val {
@@ -389,7 +690,9 @@ bool ProducesAttn(int op) {
 
 bool Lower(const std::vector<Cell>& prog, int cap_steps,
            int32_t* fields /* cap_steps x NFIELDS */, uint8_t* supervised,
-           Meta* meta) {
+           Meta* meta,
+           const std::vector<std::string>* norm_question = nullptr,
+           bool aux_missing = false) {
   int nv = 0, nf = 1, na = 0;  // frames reg 0 = video
   std::vector<Val> stack;
   struct Row { int32_t f[NFIELDS]; uint8_t sup; };
@@ -427,6 +730,19 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
         r.f[F_OUT_FRAMES] = SCRATCH;
         r.f[F_OUT_ATTN] = SCRATCH;
         r.f[F_OUT_ATTN_B] = SCRATCH;
+        // Link the free-text argument to its question span
+        // (lowering.py:249-252: missing span -> -1, or -2 in aux mode).
+        int miss = aux_missing ? -2 : -1;
+        r.f[F_SPAN_START] = miss;
+        r.f[F_SPAN_END] = miss;
+        if (norm_question != nullptr && !kSpanSkip.count(t)) {
+          auto needle = spanlink::NormalizeProgram(t);
+          int st = spanlink::FindSubsequence(*norm_question, needle);
+          if (st >= 0) {
+            r.f[F_SPAN_START] = st;
+            r.f[F_SPAN_END] = st + static_cast<int>(needle.size());
+          }
+        }
         rows.push_back(r);
         stack.push_back({K_VEC, r.f[F_OUT_VEC], 0, 1, ""});
       }
@@ -640,8 +956,9 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
   return true;
 }
 
-bool ParseLowerOne(const char* program, int cap_steps, int32_t* fields,
-                   uint8_t* supervised, int32_t* meta_out) {
+bool ParseLowerOne(const char* program, const char* question, int cap_steps,
+                   int32_t* fields, uint8_t* supervised, int32_t* meta_out,
+                   bool aux_missing) {
   std::vector<std::string> tokens;
   if (!Tokenize(program, &tokens)) return false;
   std::vector<Cell> prog;
@@ -660,7 +977,14 @@ bool ParseLowerOne(const char* program, int cap_steps, int32_t* fields,
     if (!RewriteCompare(&prog)) return false;
   }
   Meta meta;
-  if (!Lower(prog, cap_steps, fields, supervised, &meta)) return false;
+  std::vector<std::string> norm_q;
+  const std::vector<std::string>* nq = nullptr;
+  if (question != nullptr) {
+    norm_q = spanlink::NormalizeQuestion(question);
+    nq = &norm_q;
+  }
+  if (!Lower(prog, cap_steps, fields, supervised, &meta, nq, aux_missing))
+    return false;
   meta_out[0] = meta.steps;
   meta_out[1] = meta.num_vec;
   meta_out[2] = meta.num_frames;
@@ -674,22 +998,32 @@ bool ParseLowerOne(const char* program, int cap_steps, int32_t* fields,
 
 extern "C" {
 
-// Parse+lower a batch of programs (concatenated, NUL-separated). Outputs:
+// Parse+lower a batch of programs (concatenated, NUL-separated). Inputs:
+//   questions/q_offsets: optional (both null = no span linking) question
+//     text per program; free-text args get lemma-matched token spans
+//     (utils/agqa_lite.py:62-119 semantics via the text.py fallback rules).
+//   aux_missing: unmatched spans lower to -2 (aux-embedding substitution)
+//     instead of -1 (whole-question mean).
+// Outputs:
 //   fields     [B, cap_steps, 17] int32 (rows beyond steps untouched)
 //   supervised [B, cap_steps] uint8
 //   meta       [B, 6] int32: steps, num_vec, num_frames, num_attn,
 //                            root_reg, root_is_vec
 //   ok         [B] uint8 (0 = caller must fall back to the Python path)
 void stair_parse_lower_batch(const char* programs, const int64_t* offsets,
+                             const char* questions, const int64_t* q_offsets,
                              int64_t batch, int32_t cap_steps,
+                             int32_t aux_missing,
                              int32_t* fields, uint8_t* supervised,
                              int32_t* meta, uint8_t* ok, int threads) {
   auto work = [&](int64_t b) {
+    const char* q = (questions != nullptr && q_offsets != nullptr)
+                        ? questions + q_offsets[b] : nullptr;
     ok[b] = ParseLowerOne(
-        programs + offsets[b], cap_steps,
+        programs + offsets[b], q, cap_steps,
         fields + b * cap_steps * NFIELDS,
         supervised + b * cap_steps,
-        meta + b * 6) ? 1 : 0;
+        meta + b * 6, aux_missing != 0) ? 1 : 0;
   };
   if (threads <= 1 || batch < 4) {
     for (int64_t b = 0; b < batch; ++b) work(b);
@@ -711,6 +1045,6 @@ void stair_parse_lower_batch(const char* programs, const int64_t* offsets,
   delete next;
 }
 
-int stair_parser_version() { return 2; }
+int stair_parser_version() { return 3; }
 
 }  // extern "C"

@@ -40,6 +40,144 @@ def parse_pool():
     return parsed, traces
 
 
+# Argument vocabularies for instantiating the structural templates into a
+# large varied pool (objects/relations/activities in AGQA's register).
+_OBJECTS = [
+    "food", "cup", "dish", "blanket", "phone", "towel", "shoe", "box",
+    "book", "laptop", "pillow", "broom", "mirror", "picture", "sandwich",
+    "bottle",
+]
+_ACTIVITIES = [
+    "holding a dish", "taking a cup", "washing a window",
+    "drinking from a cup", "opening a door", "closing a book",
+    "throwing a pillow", "watching television", "carrying a box",
+    "touching a mirror", "eating a sandwich", "grasping onto a doorknob",
+]
+_RELATIONS = ["touching", "holding", "carrying", "wiping"]
+_MODES = ["while", "before", "after"]
+
+
+def program_pool(n: int = 128, seed: int = 0):
+    """>=100 distinct (program, question) pairs over the template grammar.
+
+    Questions contain the free-text arguments so span linking has real work
+    to do — the bench's "parse" half must include lemma matching
+    (utils/agqa_lite.py:62-119), not just tokenization.
+    """
+    rng = np.random.RandomState(seed)
+    pairs = []
+    while len(pairs) < n:
+        obj = _OBJECTS[rng.randint(len(_OBJECTS))]
+        obj2 = _OBJECTS[rng.randint(len(_OBJECTS))]
+        act = _ACTIVITIES[rng.randint(len(_ACTIVITIES))]
+        rel = _RELATIONS[rng.randint(len(_RELATIONS))]
+        mode = _MODES[rng.randint(len(_MODES))]
+        kind = len(pairs) % 6
+        if kind == 0:
+            prog = f"Exists({obj}, Iterate(video, Filter(frame, [objects])))"
+            q = f"were they near the {obj} ?"
+        elif kind == 1:
+            prog = (f"Exists({obj}, Iterate(Localize({mode}, {act}), "
+                    "Filter(frame, [objects])))")
+            q = f"was there a {obj} {mode} {act} ?"
+        elif kind == 2:
+            prog = (f"Choose({obj}, {obj2}, Iterate(video, "
+                    "Filter(frame, [objects])))")
+            q = f"did they touch the {obj} or the {obj2} ?"
+        elif kind == 3:
+            prog = ("Query(class, Superlative(max, Filter(video, [actions]), "
+                    "Subtract(Query(end, action), Query(start, action))))")
+            q = "which activity took the longest time ?"
+        elif kind == 4:
+            prog = (f"AND(Exists({obj}, Iterate(video, Filter(frame, "
+                    f"[objects]))), Exists({obj2}, Iterate(video, "
+                    "Filter(frame, [objects]))))")
+            q = f"did they have both the {obj} and the {obj2} ?"
+        else:
+            prog = ("Query(class, OnlyItem(IterateUntil(forward, video, "
+                    f"Exists({rel}, Filter(frame, [relations])), "
+                    f"Filter(frame, [relations, {rel}, objects]))))")
+            q = f"what were they {rel} first ?"
+        pairs.append((prog, q))
+    return pairs
+
+
+class HashEmbeddings:
+    """Deterministic word->vector table standing in for GloVe in benches
+    (same per-question lookup/stack host cost, no 2GB file)."""
+
+    def __init__(self, dim: int = 300):
+        self.dim = dim
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _vector(self, word: str) -> np.ndarray:
+        vec = self._cache.get(word)
+        if vec is None:
+            seed = hash(word) % (2 ** 31)
+            vec = np.random.RandomState(seed).randn(self.dim).astype(
+                np.float32
+            )
+            self._cache[word] = vec
+        return vec
+
+    def embed_sentence(self, sentence: str) -> np.ndarray:
+        rows = [self._vector(w) for w in sentence.lower().split()]
+        return np.stack(rows) if rows else np.zeros((0, self.dim), np.float32)
+
+
+class EmbeddingArena:
+    """Word-embedding table as one contiguous block + native row gather —
+    the production shape of per-question GloVe lookup (tokenize -> ids ->
+    ``stair_gather_rows_f32``), used by bench.py's timed loop."""
+
+    def __init__(self, dim: int = 300):
+        self.dim = dim
+        self.word2id: dict[str, int] = {}
+        self._rows: list[np.ndarray] = []
+        self._source = HashEmbeddings(dim)
+        self._arena: np.ndarray | None = None
+
+    def _id(self, word: str) -> int:
+        idx = self.word2id.get(word)
+        if idx is None:
+            idx = len(self._rows)
+            self.word2id[word] = idx
+            self._rows.append(self._source._vector(word))
+            self._arena = None
+        return idx
+
+    def token_ids(self, sentence: str, max_len: int) -> np.ndarray:
+        ids = np.full((max_len,), -1, np.int64)
+        for i, w in enumerate(sentence.lower().split()[:max_len]):
+            ids[i] = self._id(w)
+        return ids
+
+    def encode_batch(self, questions: list[str], max_len: int):
+        """-> (emb [B, L, dim] float32, mask [B, L] float32)."""
+        B = len(questions)
+        ids = np.stack([self.token_ids(q, max_len) for q in questions])
+        if self._arena is None:
+            self._arena = np.ascontiguousarray(np.stack(self._rows))
+        out = np.empty((B * max_len, self.dim), np.float32)
+        from stair_tpu.runtime.loader import DEFAULT_THREADS, native_lib
+
+        lib = native_lib()
+        flat = np.ascontiguousarray(ids.reshape(-1))
+        if lib is not None:
+            lib.stair_gather_rows_f32(
+                self._arena, flat, B * max_len, self.dim, out,
+                DEFAULT_THREADS,
+            )
+        else:
+            valid = flat >= 0
+            out[~valid] = 0.0
+            out[valid] = self._arena[flat[valid]]
+        return (
+            out.reshape(B, max_len, self.dim),
+            (ids >= 0).astype(np.float32),
+        )
+
+
 def workload_config(
     hidden_size=512,
     video_size=1024,

@@ -191,3 +191,33 @@ def test_transformer_encoder_mode(setup):
         deterministic=True)[0])(params)
     enc_leaves = jax.tree_util.tree_leaves(grads["video_encoder"])
     assert any(np.any(np.asarray(g) != 0) for g in enc_leaves)
+
+
+def test_cosine_matrix_matches_broadcast():
+    import numpy as np
+
+    from stair_tpu.models.modules import cosine, cosine_matrix
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    y = jnp.asarray(rng.randn(7, 16).astype(np.float32))
+    ref = cosine(x[:, None, :], y[None, :, :])
+    got = cosine_matrix(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_conv1d_same_matrix_matches_conv():
+    import numpy as np
+
+    from stair_tpu.models.modules import _conv1d_same, conv1d_same_matrix
+
+    rng = np.random.RandomState(1)
+    for k in (3, 7, 16):
+        for length in (8, 64):
+            w = jnp.asarray(rng.randn(k).astype(np.float32))
+            x = jnp.asarray(rng.randn(length).astype(np.float32))
+            ref = _conv1d_same(x, w, 0.0)
+            got = conv1d_same_matrix(w, length) @ x
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)

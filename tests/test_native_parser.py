@@ -123,3 +123,61 @@ def test_fallback_capacity_validation():
     prog = "And(Exists(a, b), Exists(c, d))"
     with pytest.raises(ValueError):
         native_parse_lower_batch([prog], 16, 1, 1, 1)
+
+
+def test_native_span_linking_matches_python(synthetic_world, monkeypatch):
+    """C++ span linking (tokenize + POS + lemmatize + subsequence match)
+    must reproduce the Python fallback pipeline field-for-field on every
+    synthetic-world question and on the template pool."""
+    import json
+
+    import numpy as np
+
+    from stair_tpu.ir.lowering import (
+        _INT_FIELDS, _F_SPAN_START, _F_SPAN_END, lower_program, pad_traces,
+    )
+    from stair_tpu.programs import text
+    from stair_tpu.programs.parser import parse_nmn_program
+    from stair_tpu.programs.spans import link_program_spans
+    from stair_tpu.runtime.loader import native_parse_lower_batch
+    from stair_tpu.testing.workload import PROGRAM_TEMPLATES
+
+    # The C++ port mirrors the deterministic fallback; pin it so the test
+    # is stable whether or not nltk corpora happen to be installed.
+    monkeypatch.setattr(text, "HAVE_NLTK", False)
+
+    with open(synthetic_world["questions"]) as f:
+        qs = json.load(f)
+    cases = [(r["program"], r["question"]) for r in qs.values()]
+    cases += [
+        (p, "what did the person hold while sitting on a chair ?")
+        for p in PROGRAM_TEMPLATES
+    ]
+    programs = [p for p, _ in cases]
+    questions = [q for _, q in cases]
+
+    traces = []
+    for prog, q in cases:
+        parsed = parse_nmn_program(prog)
+        by_word, _ = link_program_spans(parsed.tokens, q)
+        traces.append(
+            lower_program(parsed.tokens, parsed.source_index, by_word or {})
+        )
+    T = max(len(t.instrs) for t in traces)
+    NV = max(t.num_vec for t in traces)
+    NF = max(t.num_frames for t in traces)
+    NA = max(t.num_attn for t in traces)
+    ref = pad_traces(traces, T, NV, NF, NA)
+
+    tb = native_parse_lower_batch(
+        programs, T, NV, NF, NA, questions=questions
+    )
+    assert tb is not None
+    linked = 0
+    for name in _INT_FIELDS:
+        np.testing.assert_array_equal(
+            tb.fields[name], ref.fields[name],
+            err_msg=f"field {name} diverges",
+        )
+    linked = int(np.sum(tb.fields["span_start"] >= 0))
+    assert linked > 0, "no span was linked at all (port is inert)"
