@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--no-dropout", action="store_true")
     ap.add_argument("--encoder", default=None)
+    ap.add_argument("--prng", default="threefry2x32",
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
     args = ap.parse_args()
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     cfg = workload.workload_config(
         hidden_size=args.hidden, video_size=1024,

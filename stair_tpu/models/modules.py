@@ -53,10 +53,17 @@ def cosine(x, y, axis=-1):
     """
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    nx = jnp.sqrt(jnp.sum(xf * xf, axis=axis))
-    ny = jnp.sqrt(jnp.sum(yf * yf, axis=axis))
+    nx = _safe_sqrt(jnp.sum(xf * xf, axis=axis))
+    ny = _safe_sqrt(jnp.sum(yf * yf, axis=axis))
     dot = jnp.sum(xf * yf, axis=axis)
     return (dot / jnp.maximum(nx * ny, COS_EPS)).astype(x.dtype)
+
+
+def _safe_sqrt(s):
+    """sqrt with a finite gradient at 0 (an exactly-zero vector otherwise
+    injects NaN into the backward pass even when a ``where`` discards the
+    forward value — e.g. the executor's null-expert rows)."""
+    return jnp.sqrt(jnp.maximum(s, 1e-30))
 
 
 def cosine_matrix(x, y):
@@ -71,8 +78,8 @@ def cosine_matrix(x, y):
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     dot = xf @ yf.T                                      # [K, F]
-    nx = jnp.sqrt(jnp.sum(xf * xf, axis=-1))
-    ny = jnp.sqrt(jnp.sum(yf * yf, axis=-1))
+    nx = _safe_sqrt(jnp.sum(xf * xf, axis=-1))
+    ny = _safe_sqrt(jnp.sum(yf * yf, axis=-1))
     return (dot / jnp.maximum(nx[:, None] * ny[None, :], COS_EPS)).astype(
         x.dtype
     )

@@ -157,32 +157,63 @@ class VideoNMN:
     # -- the executor --------------------------------------------------------
 
     def _fused_tables(self, mods):
-        """Stack the filter-family weights for expert-grouped dispatch.
+        """Stack every [H, H]-matmul module family into expert tables for
+        grouped dispatch.
 
-        FILTER_V/FILTER_K/FILTERFRAME_V/FILTERFRAME_K all start with the same
-        2-layer frames MLP, differing only in which weights they use. Rather
-        than computing four full MLP paths per step and selecting one (the
-        naive compute-all cost), the executor sorts the batch by expert index
-        and runs ONE ``lax.ragged_dot`` grouped matmul per layer against this
-        table — the MoE segment-matmul trick. (A per-example weight gather
-        [B, H, H] was ~240x slower on TPU: it moves B copies of the weight
-        matrices through HBM every step.) Table rows: [filter.repr,
-        filter.kw x3, ff.repr, ff.kw x3].
+        All the heavy per-step work — the Filter/FilterFrame two-layer MLP
+        (8 weight variants), the Localize video projection, HasItem's MLP,
+        and the output projections (FilterFrame dense, Temporal dense,
+        Localize keyword) — shares two matmul shapes: a two-layer frames MLP
+        and a single [H, H] projection. The executor sorts the batch by
+        expert index per step and runs ONE ``lax.ragged_dot`` grouped matmul
+        per layer against these tables (the MoE segment-matmul trick),
+        instead of computing every family for every example and selecting
+        (the round-1 compute-all cost) or gathering per-example [H, H]
+        weights (~240x slower: B weight copies through HBM per step).
+
+        Stage-1 rows (two-layer MLP): [filter.repr, filter.kw x3, ff.repr,
+        ff.kw x3, localize.v1/v2, null, hasitem.l1/l2(padded)].
+        Pooled-dense rows: [filter.dense, ff.dense, null].
+        Stage-2 rows: [ff.dense, temporal.dense, localize.k, null].
         """
         f, ff = mods["filter"], mods["filterframe"]
-
-        def stack(repr_a, kws_a, repr_b, kws_b):
-            return jnp.concatenate([
-                repr_a[None], kws_a, repr_b[None], kws_b,
-            ])
-
+        loc, hi, tmp = mods["localize"], mods["hasitem"], mods["temporal"]
+        H = f["repr_w1"].shape[0]
+        zw = jnp.zeros((1, H, H), f["repr_w1"].dtype)
+        zb = jnp.zeros((1, H), f["repr_w1"].dtype)
+        l2w = jnp.pad(hi["l2"]["w"], ((0, 0), (0, H - 1)))
+        l2b = jnp.pad(hi["l2"]["b"], (0, H - 1))
         return {
-            "w1": stack(f["repr_w1"], f["kw_w1"], ff["repr_w1"], ff["kw_w1"]),
-            "b1": stack(f["repr_b1"], f["kw_b1"], ff["repr_b1"], ff["kw_b1"]),
-            "w2": stack(f["repr_w2"], f["kw_w2"], ff["repr_w2"], ff["kw_w2"]),
-            "b2": stack(f["repr_b2"], f["kw_b2"], ff["repr_b2"], ff["kw_b2"]),
-            "dense_w": jnp.stack([f["dense"]["w"], ff["dense"]["w"]]),
-            "dense_b": jnp.stack([f["dense"]["b"], ff["dense"]["b"]]),
+            "w1u": jnp.concatenate([
+                f["repr_w1"][None], f["kw_w1"], ff["repr_w1"][None],
+                ff["kw_w1"], loc["v1"]["w"][None], zw, hi["l1"]["w"][None],
+            ]),
+            "b1u": jnp.concatenate([
+                f["repr_b1"][None], f["kw_b1"], ff["repr_b1"][None],
+                ff["kw_b1"], loc["v1"]["b"][None], zb, hi["l1"]["b"][None],
+            ]),
+            "w2u": jnp.concatenate([
+                f["repr_w2"][None], f["kw_w2"], ff["repr_w2"][None],
+                ff["kw_w2"], loc["v2"]["w"][None], zw, l2w[None],
+            ]),
+            "b2u": jnp.concatenate([
+                f["repr_b2"][None], f["kw_b2"], ff["repr_b2"][None],
+                ff["kw_b2"], loc["v2"]["b"][None], zb, l2b[None],
+            ]),
+            "dense3": jnp.concatenate(
+                [f["dense"]["w"][None], ff["dense"]["w"][None], zw]
+            ),
+            "db3": jnp.concatenate(
+                [f["dense"]["b"][None], ff["dense"]["b"][None], zb]
+            ),
+            "w2t": jnp.concatenate([
+                ff["dense"]["w"][None], tmp["dense"]["w"][None],
+                loc["k"]["w"][None], zw,
+            ]),
+            "b2t": jnp.concatenate([
+                ff["dense"]["b"][None], tmp["dense"]["b"][None],
+                loc["k"]["b"][None], zb,
+            ]),
         }
 
     def run_trace(
@@ -223,22 +254,23 @@ class VideoNMN:
         is_parity = cfg.filter_attention == "parity"
 
         def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx,
-                     aux, filter_vec, ff_frames):
+                     aux, heavy):
             """One instruction on one example (vmapped over the batch).
 
-            ``filter_vec``/``ff_frames`` arrive precomputed from the batched
-            expert-grouped filter-family pass (see ``filter_family`` below).
+            ``heavy`` carries this example's outputs from the batched
+            expert-grouped stages (``heavy_stages`` below): every module
+            family that touches an [F, H] matmul is computed there; this
+            function keeps the cheap [H]-level ops and opcode selection.
             """
             rv, rf, ra = regs
             op = instr["opcode"]
             srng = jax.random.fold_in(ex_rng, step_idx)
-            rngs = jax.random.split(srng, 10)
+            rngs = jax.random.split(srng, 5)
 
             va, vb, vc = rv[instr["va"]], rv[instr["vb"]], rv[instr["vc"]]
-            fa, fb = rf[instr["fa"]], rf[instr["fb"]]
+            fa = rf[instr["fa"]]
             aa, ab = ra[instr["aa"]], ra[instr["ab"]]
             mode = instr["mode"]
-            count = instr["count"]
 
             # --- span-mean text push --------------------------------------
             s, e = instr["span_start"], instr["span_end"]
@@ -251,42 +283,6 @@ class VideoNMN:
             push_text = (span_w @ tokens) / jnp.maximum(jnp.sum(span_w), 1.0)
             # -2 marks --use-prog-word-embeddings substitution.
             push_text = jnp.where(s == -2, aux, push_text)
-
-            pair = jnp.stack([va, vb])                     # [2, H]
-            pair_mask = jnp.arange(2) < count
-
-            # --- shared Localize projection -------------------------------
-            # video_linear(fa) feeds LOCALIZE and both Superlative variants.
-            loc = mods["localize"]
-            if "locsup" in _ABLATE:
-                loc_scores = jnp.zeros((2, F), dt)
-                sup_v = sup_f = jnp.zeros((H,), dt)
-            else:
-                vfeat = M.linear(
-                    loc["v2"],
-                    M.dropout(jax.nn.relu(M.linear(loc["v1"], fa)), rate,
-                              rngs[8], deterministic),
-                )                                          # [F, H]
-                kw_pair = M.linear(loc["k"], pair)         # [2, H]
-                loc_scores = (M.cosine_matrix(
-                    kw_pair, vfeat
-                ) + 1.0) * 0.49 * vmask[None, :]           # [2, F]
-
-                sup = mods["superlative"]
-
-                def superlative(scores, actions, a_mask):
-                    row = jnp.sum(scores * vmask[None, :], axis=1)
-                    w = M.masked_softmax(row, a_mask, axis=0)
-                    w = jnp.where(mode == 1, 1.0 - w, w) * a_mask
-                    pooled = jnp.sum(w[:, None] * actions, axis=0)
-                    return jax.nn.relu(M.linear(sup["dense"], pooled))
-
-                sup_v = superlative(loc_scores, pair, pair_mask)
-                kw_f = M.linear(loc["k"], fb)              # [F, H]
-                scores_f = (M.cosine_matrix(
-                    kw_f, vfeat
-                ) + 1.0) * 0.49 * vmask[None, :]           # [F, F]
-                sup_f = superlative(scores_f, fb, vmask > 0)
 
             # --- cheap vec ops --------------------------------------------
             vec_cands = [
@@ -302,28 +298,19 @@ class VideoNMN:
                     mods["toaction"], va, vb, rate, rngs[3], deterministic)),
                 (Opcode.EXISTS, M.exists_module(
                     mods["exists"], va, vb, rate, rngs[4], deterministic)),
-                (Opcode.FILTER_V, filter_vec),
-                (Opcode.FILTER_K, filter_vec),
-                (Opcode.SUPERLATIVE_V, sup_v),
-                (Opcode.SUPERLATIVE_F, sup_f),
+                (Opcode.FILTER_V, heavy["filter_vec"]),
+                (Opcode.FILTER_K, heavy["filter_vec"]),
+                (Opcode.SUPERLATIVE_V, heavy["sup_v"]),
+                (Opcode.SUPERLATIVE_F, heavy["sup_f"]),
             ]
             new_vec = _select(op, vec_cands, jnp.zeros((H,), dt))
 
             # --- frames candidates ----------------------------------------
-            attn_mean = jnp.where(count == 2, (aa + ab) / 2.0, aa)
-            if "temporal" in _ABLATE:
-                temporal_out = jnp.zeros((F, H), dt)
-                temporal_rel = jnp.zeros((F,), dt)
-            else:
-                temporal_out, temporal_rel = M.temporal_module(
-                    mods["temporal"], mode, fa, attn_mean, vmask,
-                    cfg.conv_temporal, rate, rngs[6], deterministic,
-                )
             frames_cands = [
-                (Opcode.TEMPORAL, temporal_out),
+                (Opcode.TEMPORAL, heavy["temporal_out"]),
                 (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
-                (Opcode.FILTERFRAME_V, ff_frames),
-                (Opcode.FILTERFRAME_K, ff_frames),
+                (Opcode.FILTERFRAME_V, heavy["ff_frames"]),
+                (Opcode.FILTERFRAME_K, heavy["ff_frames"]),
             ]
             new_frames = _select(op, frames_cands, jnp.zeros((F, H), dt))
 
@@ -331,17 +318,16 @@ class VideoNMN:
             attn_cands = [
                 (Opcode.AND_ATTN, M.and_module(aa, ab)),
                 (Opcode.XORFRAME, M.xorframe_module(aa, ab)),
-                (Opcode.HASITEM, M.hasitem_module(
-                    mods["hasitem"], fa, vmask, rate, rngs[9], deterministic)),
+                (Opcode.HASITEM, heavy["hasitem"]),
                 (Opcode.EXISTSFRAME, M.existsframe_module(va, fa, vmask)),
-                (Opcode.LOCALIZE, loc_scores[0]),
+                (Opcode.LOCALIZE, heavy["loc_scores"][0]),
                 (Opcode.RELATE, M.relate_module(
                     mods["relate"], mode == 1, aa, vmask)),
             ]
             new_attn = _select(op, attn_cands, jnp.zeros((F,), dt))
             attn_b_cands = [
-                (Opcode.LOCALIZE, loc_scores[1]),
-                (Opcode.TEMPORAL, temporal_rel),
+                (Opcode.LOCALIZE, heavy["loc_scores"][1]),
+                (Opcode.TEMPORAL, heavy["temporal_rel"]),
             ]
             new_attn_b = _select(op, attn_b_cands, jnp.zeros((F,), dt))
 
@@ -351,68 +337,98 @@ class VideoNMN:
             ra = ra.at[instr["out_attn_b"]].set(new_attn_b.astype(dt))
             return rv, rf, ra
 
-        def filter_family(regs, instr, srng):
-            """Batched filter-family MLP via expert-grouped matmuls.
+        vmask_b = jnp.asarray(video_mask)
 
-            Sorts the batch by expert index (opcode x type-keyword: 8 table
-            rows) and runs each layer as ONE ``lax.ragged_dot`` against the
-            stacked weight table, instead of gathering a per-example [H, H]
-            weight matrix (which moves B weight copies through HBM per step
-            — measured ~240x slower at B=128/H=512). The midx sort orders
-            filter experts (0-3) before filterframe experts (4-7), so the
-            2-row dense table groups with the same permutation.
+        def grouped(x, table, groups):
+            return jax.lax.ragged_dot(
+                x, table, groups, preferred_element_type=jnp.float32
+            ).astype(dt)
+
+        def heavy_stages(regs, instr, srng):
+            """All [F, H]-matmul module families for the whole batch as
+            expert-grouped ``ragged_dot`` stages (see ``_fused_tables``).
+
+            Per step each example needs AT MOST ONE family from each stage
+            (opcodes are mutually exclusive), so sorting the batch by expert
+            index turns what was seven all-row [H, H] matmuls per step into
+            three grouped ones; rows whose opcode needs none route to a null
+            expert. Garbage rows (an example's unused family outputs) are
+            discarded by ``step_one``'s opcode selection, exactly as in the
+            compute-all design.
             """
-            if "filter" in _ABLATE:
-                return (jnp.zeros((B, H), dt), jnp.zeros((B, F, H), dt))
-            rv, rf, _ = regs
+            rv, rf, ra = regs
             bidx = jnp.arange(B)
             op = instr["opcode"]
             mode = instr["mode"]
+            count = instr["count"]
             fa = rf[bidx, instr["fa"]]                     # [B, F, H]
+            fb = rf[bidx, instr["fb"]]
             va = rv[bidx, instr["va"]]                     # [B, H]
+            vb = rv[bidx, instr["vb"]]
+            aa = ra[bidx, instr["aa"]]                     # [B, F]
+            ab = ra[bidx, instr["ab"]]
+
             is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
                 op == int(Opcode.FILTERFRAME_K)
+            )
+            is_filter = is_ff | (op == int(Opcode.FILTER_V)) | (
+                op == int(Opcode.FILTER_K)
             )
             is_kw = (op == int(Opcode.FILTER_K)) | (
                 op == int(Opcode.FILTERFRAME_K)
             )
-            midx = jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0)
+            is_supf = op == int(Opcode.SUPERLATIVE_F)
+            is_locsup = (
+                (op == int(Opcode.LOCALIZE))
+                | (op == int(Opcode.SUPERLATIVE_V)) | is_supf
+            )
+            is_hasitem = op == int(Opcode.HASITEM)
+            is_temporal = op == int(Opcode.TEMPORAL)
+            rngs = jax.random.split(srng, 4)
 
-            perm = jnp.argsort(midx)
-            inv = jnp.argsort(perm)
-            m_s = midx[perm]
-            fa_s = fa[perm]
-            va_s = va[perm]
-            vm_s = jnp.asarray(video_mask)[perm]
-            op_s = op[perm]
-            gs = jnp.bincount(midx, length=8).astype(jnp.int32)
-            r1, r2, r3 = jax.random.split(srng, 3)
-
-            def grouped(x, table, groups):
-                return jax.lax.ragged_dot(
-                    x, table, groups, preferred_element_type=jnp.float32
-                ).astype(dt)
-
+            # ---- stage 1: two-layer frames MLP ---------------------------
+            # experts: [filter x8 | localize v1/v2 | null | hasitem].
+            e1 = jnp.where(
+                is_filter,
+                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0),
+                jnp.where(is_locsup, 8, jnp.where(is_hasitem, 10, 9)),
+            )
+            perm1 = jnp.argsort(e1)
+            inv1 = jnp.argsort(perm1)
+            e1s = e1[perm1]
+            gs1 = jnp.bincount(e1, length=11).astype(jnp.int32)
             h = grouped(
-                fa_s.reshape(B * F, H), tables["w1"], gs * F
-            ).reshape(B, F, H) + tables["b1"][m_s][:, None, :]
-            h = M.dropout(jax.nn.relu(h), rate, r1, deterministic)
-            feat = grouped(
-                h.reshape(B * F, H), tables["w2"], gs * F
-            ).reshape(B, F, H) + tables["b2"][m_s][:, None, :]
-            feat = M.dropout(jax.nn.relu(feat), rate, r2, deterministic)
+                fa[perm1].reshape(B * F, H), tables["w1u"], gs1 * F
+            ).reshape(B, F, H) + tables["b1u"][e1s][:, None, :]
+            h = M.dropout(jax.nn.relu(h), rate, rngs[0], deterministic)
+            h2 = grouped(
+                h.reshape(B * F, H), tables["w2u"], gs1 * F
+            ).reshape(B, F, H) + tables["b2u"][e1s][:, None, :]
+            # Epilogue: filter rows relu+dropout; localize v2 / hasitem l2
+            # outputs stay linear.
+            filt_s = is_filter[perm1]
+            feat_like = M.dropout(jax.nn.relu(h2), rate, rngs[1],
+                                  deterministic)
+            out1_s = jnp.where(filt_s[:, None, None], feat_like, h2)
+            out1 = out1_s[inv1]                             # [B, F, H]
 
-            n_filter = jnp.sum(gs[:4]).astype(jnp.int32)
-            gs2 = jnp.stack([n_filter, jnp.int32(B) - n_filter])
-            dense_b = tables["dense_b"][is_ff[perm].astype(jnp.int32)]
-
+            # ---- filter heads (sorted domain) ----------------------------
+            vm_s = vmask_b[perm1]
+            va_s = va[perm1]
+            op_s = op[perm1]
+            feat_s = out1_s
+            n0 = jnp.sum(gs1[:4]).astype(jnp.int32)
+            n1 = jnp.sum(gs1[4:8]).astype(jnp.int32)
+            gs3 = jnp.stack([n0, n1, jnp.int32(B) - n0 - n1])
+            d3 = jnp.where(e1s < 4, 0, jnp.where(e1s < 8, 1, 2))
             # Filter pooling: parity = uniform sum over valid frames
             # (the reference's degenerate softmax); 'softmax' = corrected.
             if is_parity:
                 weights = vm_s[:, :, None]
             else:
                 fk = jnp.concatenate(
-                    [feat, jnp.broadcast_to(va_s[:, None, :], feat.shape)],
+                    [feat_s,
+                     jnp.broadcast_to(va_s[:, None, :], feat_s.shape)],
                     axis=-1,
                 )
                 logits = (fk @ mods["filter"]["attn_w"]
@@ -422,13 +438,13 @@ class VideoNMN:
                     (op_s == int(Opcode.FILTER_V))[:, None, None],
                     soft[:, :, None], vm_s[:, :, None],
                 )
-            pooled = jnp.sum(weights * feat * vm_s[:, :, None], axis=1)
+            pooled = jnp.sum(weights * feat_s * vm_s[:, :, None], axis=1)
             filter_vec = jax.nn.relu(
-                grouped(pooled, tables["dense_w"], gs2) + dense_b
-            )
-            # FilterFrame: per-frame sigmoid gate (vec path) or identity.
+                grouped(pooled, tables["dense3"], gs3) + tables["db3"][d3]
+            )[inv1]
+            # FilterFrame sigmoid gate (vec path) or identity.
             ffk = jnp.concatenate(
-                [feat, jnp.broadcast_to(va_s[:, None, :], feat.shape)],
+                [feat_s, jnp.broadcast_to(va_s[:, None, :], feat_s.shape)],
                 axis=-1,
             )
             gate = jax.nn.sigmoid(
@@ -438,31 +454,100 @@ class VideoNMN:
             gate = jnp.where(
                 (op_s == int(Opcode.FILTERFRAME_V))[:, None, None], gate, 1.0
             )
-            ff_frames = M.dropout(
-                jax.nn.relu(
-                    grouped(
-                        (gate * feat).reshape(B * F, H),
-                        tables["dense_w"], gs2 * F,
-                    ).reshape(B, F, H) + dense_b[:, None, :]
-                ), rate, r3, deterministic,
-            ) * vm_s[:, :, None]
+            x_ff = (gate * feat_s)[inv1]
 
-            return filter_vec[inv], ff_frames[inv]
+            # ---- temporal gated attention (banded-matmul convs) ----------
+            attn_mean = jnp.where((count == 2)[:, None], (aa + ab) / 2.0, aa)
+            related = jax.vmap(
+                lambda m, a: M.temporal_related_attn(
+                    mods["temporal"], m, a, cfg.conv_temporal
+                )
+            )(mode, attn_mean) * vmask_b                    # [B, F]
+
+            # ---- stage 2: output projections -----------------------------
+            # experts: [ff.dense | temporal.dense | localize.k | null].
+            e2 = jnp.where(
+                is_ff, 0,
+                jnp.where(is_temporal, 1, jnp.where(is_supf, 2, 3)),
+            )
+            x2 = jnp.where(
+                is_ff[:, None, None], x_ff,
+                jnp.where(
+                    is_temporal[:, None, None], related[:, :, None] * fa,
+                    jnp.where(is_supf[:, None, None], fb, fa),
+                ),
+            )
+            perm2 = jnp.argsort(e2)
+            inv2 = jnp.argsort(perm2)
+            gs2 = jnp.bincount(e2, length=4).astype(jnp.int32)
+            y2 = (grouped(
+                x2[perm2].reshape(B * F, H), tables["w2t"], gs2 * F
+            ).reshape(B, F, H) + tables["b2t"][e2[perm2]][:, None, :])[inv2]
+            # Shared relu+dropout epilogue (rows are ff XOR temporal);
+            # localize.k output (kw_f) stays linear.
+            base = M.dropout(jax.nn.relu(y2), rate, rngs[2], deterministic)
+            ff_frames = base * vmask_b[:, :, None]
+            temporal_out = M.layer_norm(mods["temporal"]["ln"], base)
+            kw_f = y2
+
+            # ---- localize / superlative heads -----------------------------
+            vfeat = out1
+            pair = jnp.stack([va, vb], axis=1)              # [B, 2, H]
+            kw_pair = M.linear(mods["localize"]["k"], pair)
+            loc_scores = (jax.vmap(M.cosine_matrix)(kw_pair, vfeat)
+                          + 1.0) * 0.49 * vmask_b[:, None, :]    # [B, 2, F]
+            scores_f = (jax.vmap(M.cosine_matrix)(kw_f, vfeat)
+                        + 1.0) * 0.49 * vmask_b[:, None, :]      # [B, F, F]
+            pair_mask = jnp.arange(2)[None, :] < count[:, None]
+
+            def superlative(scores, actions, amask):
+                row = jnp.sum(scores * vmask_b[:, None, :], axis=2)
+                w = M.masked_softmax(row, amask, axis=1)
+                w = jnp.where((mode == 1)[:, None], 1.0 - w, w) * amask
+                pld = jnp.sum(w[:, :, None] * actions, axis=1)
+                return jax.nn.relu(
+                    M.linear(mods["superlative"]["dense"], pld)
+                )
+
+            sup_v = superlative(loc_scores, pair, pair_mask)
+            sup_f = superlative(scores_f, fb, vmask_b > 0)
+
+            hasitem = M.dropout(
+                jax.nn.sigmoid(out1[..., 0]), rate, rngs[3], deterministic
+            ) * vmask_b
+
+            heavy = {
+                "filter_vec": filter_vec, "ff_frames": ff_frames,
+                "loc_scores": loc_scores, "sup_v": sup_v, "sup_f": sup_f,
+                "temporal_out": temporal_out, "temporal_rel": related,
+                "hasitem": hasitem,
+            }
+            if "filter" in _ABLATE:
+                heavy["filter_vec"] = jnp.zeros((B, H), dt)
+                heavy["ff_frames"] = jnp.zeros((B, F, H), dt)
+            if "locsup" in _ABLATE:
+                heavy["loc_scores"] = jnp.zeros((B, 2, F), dt)
+                heavy["sup_v"] = jnp.zeros((B, H), dt)
+                heavy["sup_f"] = jnp.zeros((B, H), dt)
+            if "temporal" in _ABLATE:
+                heavy["temporal_out"] = jnp.zeros((B, F, H), dt)
+                heavy["temporal_rel"] = jnp.zeros((B, F), dt)
+            return heavy
 
         batched_step = jax.vmap(
             step_one,
-            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0, 0),
+            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0),
         )
-        filter_rng = jax.random.fold_in(rng, 0x5f17)
+        heavy_rng = jax.random.fold_in(rng, 0x5f17)
 
         def scan_body(regs, scanned):
             instr_t, t, aux_t = scanned
-            filter_vec, ff_frames = filter_family(
-                regs, instr_t, jax.random.fold_in(filter_rng, t)
+            heavy = heavy_stages(
+                regs, instr_t, jax.random.fold_in(heavy_rng, t)
             )
             new_regs = batched_step(
                 regs, instr_t, video_mask, token_features, token_mask,
-                example_rngs, t, aux_t, filter_vec, ff_frames,
+                example_rngs, t, aux_t, heavy,
             )
             return new_regs, None
 

@@ -304,6 +304,7 @@ def main(args=None):
     print(f"train={len(train_ds)} valid={len(valid_ds)} "
           f"dropped={train_ds.drop_reasons}")
 
+    jax.config.update("jax_default_prng_impl", args.prng)
     if args.config_filename:
         with open(args.config_filename) as f:
             config_dict = json.load(f)

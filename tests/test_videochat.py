@@ -165,3 +165,68 @@ def test_prompt_builder_and_frames():
     out = preprocess_frames(frames, size=28)
     assert out.shape == (3, 28, 28, 3)
     assert np.isfinite(out).all()
+
+
+def test_real_video_file_inference_roundtrip(tmp_path):
+    """End-to-end on real video BYTES from disk (ref
+    video_chatgpt/eval/model_utils.py:35-102 semantics): write a small
+    animated file, decode through frames.load_video_frames, CLIP-encode,
+    splice, and generate an answer string with the tiny air-gapped model."""
+    import imageio.v3 as iio
+
+    from stair_tpu.llm import frames as fr
+    from stair_tpu.llm.videochat_infer import (
+        initialize_model,
+        video_chatgpt_infer_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    clip = (rng.rand(16, 48, 64, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / "clip.gif")
+    iio.imwrite(path, clip, loop=0)
+
+    decoded = fr.load_video_frames(path, num_frames=8)
+    assert decoded.shape[0] == 8 and decoded.shape[-1] == 3
+    assert decoded.dtype == np.uint8
+
+    class A:
+        model_path = None
+        model_ckpt = None
+
+    model, params, tokenizer = initialize_model(A())
+    outs = video_chatgpt_infer_batch(
+        model, params, tokenizer,
+        questions=["what did they do ?"],
+        frame_sets=[decoded],
+        max_new_tokens=8,
+    )
+    assert len(outs) == 1 and isinstance(outs[0], str)
+
+
+def test_weight_delta_roundtrip_through_files(tmp_path):
+    """make_delta -> apply_delta through on-disk artifacts reproduces the
+    finetuned tree exactly (ref video_chatgpt/model/make_delta.py /
+    consolidate.py)."""
+    from flax import serialization
+
+    from stair_tpu.llm.weight_delta import main as delta_main
+
+    rng = np.random.RandomState(1)
+    base = {"a": {"w": rng.randn(4, 4).astype(np.float32)},
+            "b": rng.randn(3).astype(np.float32)}
+    tuned = {"a": {"w": base["a"]["w"] + 1.5},
+             "b": base["b"] * 2.0}
+    paths = {k: str(tmp_path / f"{k}.msgpack") for k in
+             ("base", "tuned", "delta", "out")}
+    with open(paths["base"], "wb") as f:
+        f.write(serialization.to_bytes(base))
+    with open(paths["tuned"], "wb") as f:
+        f.write(serialization.to_bytes(tuned))
+    delta_main(["--func", "make", "--base", paths["base"],
+                "--target", paths["tuned"], "--output", paths["delta"]])
+    delta_main(["--func", "apply", "--base", paths["base"],
+                "--target", paths["delta"], "--output", paths["out"]])
+    with open(paths["out"], "rb") as f:
+        restored = serialization.from_bytes(base, f.read())
+    np.testing.assert_array_equal(restored["a"]["w"], tuned["a"]["w"])
+    np.testing.assert_array_equal(restored["b"], tuned["b"])
