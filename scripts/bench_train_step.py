@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--no-dropout", action="store_true")
     ap.add_argument("--encoder", default=None)
+    ap.add_argument("--decoder-only", action="store_true")
     ap.add_argument("--prng", default="threefry2x32",
                     choices=["threefry2x32", "rbg", "unsafe_rbg"])
     args = ap.parse_args()
@@ -55,11 +56,23 @@ def main():
     optimizer = optax.adam(1e-4)
     opt_state = jax.jit(optimizer.init)(params)
 
-    def loss_fn(p, rng):
-        return total_loss(
-            model, p, batch, rng, 1.0, 1.0,
-            jnp.float32(1.0), jnp.float32(1.0), deterministic=False,
-        )[0]
+    if args.decoder_only:
+        # Bypass the supervision-loss machinery: isolates the executor +
+        # encoders + decoder fwd/bwd cost from the loss-side cost.
+        def loss_fn(p, rng):
+            out = model.forward(p, batch, rng=rng, deterministic=False)
+            logits = out["logits"]
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logits, batch["answer"][:, None], axis=-1
+            )[:, 0]
+            return jnp.mean(lse - picked)
+    else:
+        def loss_fn(p, rng):
+            return total_loss(
+                model, p, batch, rng, 1.0, 1.0,
+                jnp.float32(1.0), jnp.float32(1.0), deterministic=False,
+            )[0]
 
     if args.fwd_only:
         def one(p, opt_state, rng):

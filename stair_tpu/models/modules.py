@@ -99,8 +99,11 @@ def layer_norm(p, x, eps=1e-5):
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch F.normalize semantics (norm clamped below by eps)."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    """torch F.normalize semantics (norm clamped below by eps).
+
+    Uses the grad-safe sqrt: exactly-zero rows (unwritten/scratch registers)
+    otherwise emit NaN cotangents even under a zero loss weight."""
+    norm = _safe_sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
     return x / jnp.maximum(norm, eps)
 
 

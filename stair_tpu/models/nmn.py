@@ -253,23 +253,24 @@ class VideoNMN:
 
         is_parity = cfg.filter_attention == "parity"
 
-        def step_one(regs, instr, vmask, tokens, tmask, ex_rng, step_idx,
-                     aux, heavy):
+        def step_one(operands, instr, vmask, tokens, tmask, ex_rng,
+                     step_idx, aux, heavy):
             """One instruction on one example (vmapped over the batch).
 
-            ``heavy`` carries this example's outputs from the batched
-            expert-grouped stages (``heavy_stages`` below): every module
-            family that touches an [F, H] matmul is computed there; this
-            function keeps the cheap [H]-level ops and opcode selection.
+            ``operands`` are this example's register reads (performed once,
+            batched, in ``scan_body`` — per-example dynamic indexing lowers
+            to scatter-adds in the backward pass, which are pathologically
+            slow on TPU). ``heavy`` carries the outputs of the batched
+            expert-grouped stages (``heavy_stages``): every module family
+            that touches an [F, H] matmul is computed there; this function
+            keeps the cheap [H]-level ops and opcode selection, returning
+            the four register writes for the batched writeback.
             """
-            rv, rf, ra = regs
             op = instr["opcode"]
             srng = jax.random.fold_in(ex_rng, step_idx)
             rngs = jax.random.split(srng, 5)
 
-            va, vb, vc = rv[instr["va"]], rv[instr["vb"]], rv[instr["vc"]]
-            fa = rf[instr["fa"]]
-            aa, ab = ra[instr["aa"]], ra[instr["ab"]]
+            va, vb, vc, fa, aa, ab = operands
             mode = instr["mode"]
 
             # --- span-mean text push --------------------------------------
@@ -331,20 +332,41 @@ class VideoNMN:
             ]
             new_attn_b = _select(op, attn_b_cands, jnp.zeros((F,), dt))
 
-            rv = rv.at[instr["out_vec"]].set(new_vec.astype(dt))
-            rf = rf.at[instr["out_frames"]].set(new_frames.astype(dt))
-            ra = ra.at[instr["out_attn"]].set(new_attn.astype(dt))
-            ra = ra.at[instr["out_attn_b"]].set(new_attn_b.astype(dt))
-            return rv, rf, ra
+            return (new_vec.astype(dt), new_frames.astype(dt),
+                    new_attn.astype(dt), new_attn_b.astype(dt))
 
         vmask_b = jnp.asarray(video_mask)
+
+        def reg_read(regfile, idx):
+            """[B, N, ...] x [B] -> [B, ...] as a one-hot contraction.
+
+            A dynamic per-example gather would transpose to a scatter-add
+            in the backward pass — measured ~5x slower than this dense
+            form on TPU at the executor's register-file sizes.
+            """
+            oh = jax.nn.one_hot(idx, regfile.shape[1], dtype=regfile.dtype)
+            return jnp.einsum("bn,bn...->b...", oh, regfile)
+
+        def reg_write(regfile, idx, value):
+            """Blend ``value`` into register ``idx`` per example."""
+            oh = jax.nn.one_hot(idx, regfile.shape[1], dtype=regfile.dtype)
+            oh = oh.reshape(oh.shape + (1,) * (regfile.ndim - 2))
+            return regfile * (1 - oh) + oh * value[:, None]
+
+        def read_operands(regs, instr):
+            rv, rf, ra = regs
+            return (
+                reg_read(rv, instr["va"]), reg_read(rv, instr["vb"]),
+                reg_read(rv, instr["vc"]), reg_read(rf, instr["fa"]),
+                reg_read(ra, instr["aa"]), reg_read(ra, instr["ab"]),
+            )
 
         def grouped(x, table, groups):
             return jax.lax.ragged_dot(
                 x, table, groups, preferred_element_type=jnp.float32
             ).astype(dt)
 
-        def heavy_stages(regs, instr, srng):
+        def heavy_stages(regs, operands, instr, srng):
             """All [F, H]-matmul module families for the whole batch as
             expert-grouped ``ragged_dot`` stages (see ``_fused_tables``).
 
@@ -356,17 +378,12 @@ class VideoNMN:
             discarded by ``step_one``'s opcode selection, exactly as in the
             compute-all design.
             """
-            rv, rf, ra = regs
-            bidx = jnp.arange(B)
+            _, rf, _ = regs
             op = instr["opcode"]
             mode = instr["mode"]
             count = instr["count"]
-            fa = rf[bidx, instr["fa"]]                     # [B, F, H]
-            fb = rf[bidx, instr["fb"]]
-            va = rv[bidx, instr["va"]]                     # [B, H]
-            vb = rv[bidx, instr["vb"]]
-            aa = ra[bidx, instr["aa"]]                     # [B, F]
-            ab = ra[bidx, instr["ab"]]
+            va, vb, _vc, fa, aa, ab = operands
+            fb = reg_read(rf, instr["fb"])                 # [B, F, H]
 
             is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
                 op == int(Opcode.FILTERFRAME_K)
@@ -536,20 +553,26 @@ class VideoNMN:
 
         batched_step = jax.vmap(
             step_one,
-            in_axes=((0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0),
+            in_axes=((0, 0, 0, 0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0),
         )
         heavy_rng = jax.random.fold_in(rng, 0x5f17)
 
         def scan_body(regs, scanned):
             instr_t, t, aux_t = scanned
+            operands = read_operands(regs, instr_t)
             heavy = heavy_stages(
-                regs, instr_t, jax.random.fold_in(heavy_rng, t)
+                regs, operands, instr_t, jax.random.fold_in(heavy_rng, t)
             )
-            new_regs = batched_step(
-                regs, instr_t, video_mask, token_features, token_mask,
+            new_vec, new_frames, new_attn, new_attn_b = batched_step(
+                operands, instr_t, video_mask, token_features, token_mask,
                 example_rngs, t, aux_t, heavy,
             )
-            return new_regs, None
+            rv, rf, ra = regs
+            rv = reg_write(rv, instr_t["out_vec"], new_vec)
+            rf = reg_write(rf, instr_t["out_frames"], new_frames)
+            ra = reg_write(ra, instr_t["out_attn"], new_attn)
+            ra = reg_write(ra, instr_t["out_attn_b"], new_attn_b)
+            return (rv, rf, ra), None
 
         T = trace_fields["opcode"].shape[1]
         scanned_fields = jax.tree_util.tree_map(

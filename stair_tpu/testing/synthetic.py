@@ -14,6 +14,7 @@ reference applies at ``utils/agqa_lite.py:54-57``).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pickle
@@ -124,7 +125,14 @@ def make_scene_graph(rng: random.Random, word2id, num_frames: int = 24):
 # ---------------------------------------------------------------------------
 
 def _sample_question(rng: random.Random, graph, id2word):
-    """Instantiate one template against one scene graph."""
+    """Instantiate one template against one scene graph.
+
+    Returns ``(question, program, template_id, key_arg)`` — the latter two
+    feed the generalization-split labels (novel_comp holds out specific
+    template x argument compositions; more_steps marks the structurally
+    deepest templates), mirroring the semantics of AGQA2's novel_comp /
+    more_steps test splits (ref utils/agqa_lite.py:135-138).
+    """
     actions = [graph[k]["phrase"] for k in graph if k.startswith("c")]
     objects = list({
         id2word[k.split("/")[0]] for k in graph if k.startswith("o")
@@ -147,6 +155,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "%s(Exists(%s, Iterate(video, Filter(frame, [objects]))), "
             "Exists(%s, Iterate(video, Filter(frame, [objects]))))"
             % (op, any_obj, obj2),
+            7, any_obj,
         )
     if template == 8:
         # ToAction composes verb+object; exercises contrastive supervision.
@@ -156,6 +165,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "was the person %s a %s at some point ?" % (verb, obj),
             "Exists(ToAction(%s, %s), Iterate(video, Filter(frame, [actions])))"
             % (verb, obj),
+            8, verb,
         )
     if template == 9:
         # Equals over the first related object; exercises Equals supervision.
@@ -167,17 +177,20 @@ def _sample_question(rng: random.Random, graph, id2word):
             "Exists(%s, Filter(frame, [relations])), "
             "Filter(frame, [relations, %s, objects])))))"
             % (any_obj, rel_text, rel_text),
+            9, any_obj,
         )
     if template == 0:
         return (
             "was a %s in the video ?" % any_obj,
             "Exists(%s, Iterate(video, Filter(frame, [objects])))" % any_obj,
+            0, any_obj,
         )
     if template == 1:
         return (
             "was a %s there while %s ?" % (any_obj, action),
             "Exists(%s, Iterate(Localize(while, %s), Filter(frame, [objects])))"
             % (any_obj, action),
+            1, any_obj,
         )
     if template == 2:
         mode = rng.choice(["before", "after"])
@@ -185,6 +198,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "was a %s there %s %s ?" % (any_obj, mode, action),
             "Exists(%s, Iterate(Localize(%s, %s), Filter(frame, [objects])))"
             % (any_obj, mode, action),
+            2, any_obj,
         )
     if template == 3:
         obj2 = rng.choice([o for o in OBJECTS if o != any_obj])
@@ -192,6 +206,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "which was in the video , a %s or a %s ?" % (any_obj, obj2),
             "Choose(%s, %s, Iterate(video, Filter(frame, [objects])))"
             % (any_obj, obj2),
+            3, any_obj,
         )
     if template == 4:
         mode = rng.choice(["max", "min"])
@@ -200,6 +215,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "what was the %s action in the video ?" % word,
             "Query(class, Superlative(%s, Filter(video, [actions]), "
             "Subtract(Query(end, action), Query(start, action))))" % mode,
+            4, mode,
         )
     if template == 5:
         rel = rng.choice(relations) if relations else "touching"
@@ -210,6 +226,7 @@ def _sample_question(rng: random.Random, graph, id2word):
             "Query(class, OnlyItem(IterateUntil(forward, video, "
             "Exists(%s, Filter(frame, [relations])), "
             "Filter(frame, [relations, %s, objects]))))" % (rel_text, rel_text),
+            5, rel_text,
         )
     # template == 6: Compare before/after
     return (
@@ -217,6 +234,7 @@ def _sample_question(rng: random.Random, graph, id2word):
         "Compare(Array2(before, after), Exists(%s, Iterate("
         "Localize(temporal_tag, %s), Filter(frame, [objects]))))"
         % (any_obj, action),
+        6, any_obj,
     )
 
 
@@ -263,20 +281,30 @@ def make_world(
         attempts = 0
         while made < questions_per_video and attempts < 50 * questions_per_video:
             attempts += 1
-            question, program = _sample_question(rng, graphs[vid], id2word)
+            question, program, tid, key_arg = _sample_question(
+                rng, graphs[vid], id2word
+            )
             try:
                 answer, _steps, _meta = executor.run(video_id=vid, program=program)
             except Exception:
                 continue
             if answer is None:
                 continue
+            # Generalization-split labels (AGQA2 semantics,
+            # utils/agqa_lite.py:135-138): novel_comp marks deterministic
+            # held-out template x argument compositions (a parity harness
+            # keeps them out of train); more_steps marks the structurally
+            # deepest programs (Compare doubling, Equals over IterateUntil).
+            combo_hash = int(
+                hashlib.md5(f"{tid}|{key_arg}".encode()).hexdigest()[:8], 16
+            )
             questions["Q%05d" % qa_num] = {
                 "question": question,
                 "program": program,
                 "answer": answer,
                 "video_id": vid,
-                "novel_comp": rng.randint(0, 1),
-                "more_steps": rng.randint(0, 1),
+                "novel_comp": int(combo_hash % 7 == 0),
+                "more_steps": int(tid in (6, 9)),
             }
             qa_num += 1
             made += 1

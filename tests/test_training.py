@@ -108,7 +108,7 @@ def test_loss_decreases(train_world):
     rng = jax.random.PRNGKey(1)
     losses = []
     gate = jnp.float32(1.0)
-    for epoch in range(6):
+    for epoch in range(10):
         for batch in batcher.epoch(shuffle=True):
             rng, srng = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
