@@ -475,11 +475,9 @@ class VideoNMN:
 
             # ---- temporal gated attention (banded-matmul convs) ----------
             attn_mean = jnp.where((count == 2)[:, None], (aa + ab) / 2.0, aa)
-            related = jax.vmap(
-                lambda m, a: M.temporal_related_attn(
-                    mods["temporal"], m, a, cfg.conv_temporal
-                )
-            )(mode, attn_mean) * vmask_b                    # [B, F]
+            related = M.temporal_related_attn_batched(
+                mods["temporal"], mode, attn_mean, cfg.conv_temporal
+            ) * vmask_b                                     # [B, F]
 
             # ---- stage 2: output projections -----------------------------
             # experts: [ff.dense | temporal.dense | localize.k | null].

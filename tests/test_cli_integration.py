@@ -62,6 +62,7 @@ def _common_args(w, out):
     ]
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_clis(cli_world):
     from stair_tpu.train.args import get_args
     from stair_tpu.train import evaluate as eval_cli
@@ -106,6 +107,7 @@ def test_train_and_evaluate_clis(cli_world):
         assert len(top10) == 10
 
 
+@pytest.mark.slow
 def test_parser_cli_roundtrip(cli_world):
     from stair_tpu.seq2seq import train as parser_cli
 
@@ -162,6 +164,7 @@ def test_dryrun_multichip_entry():
     assert "LLM tp-sharded SFT step OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_resume_restores_optimizer_and_rng(cli_world, capsys):
     """Mid-run resume must restore Adam moments and the PRNG stream, not just
     params (regression: load_opt_state was never called on resume)."""

@@ -157,6 +157,7 @@ def test_softmax_filter_mode_and_bf16(setup):
     assert np.abs(c - ref_logits).max() / scale < 0.15
 
 
+@pytest.mark.slow
 def test_transformer_encoder_mode(setup):
     """--encoder transformer: full forward runs and trains a step."""
     import dataclasses
@@ -221,3 +222,30 @@ def test_conv1d_same_matrix_matches_conv():
             got = conv1d_same_matrix(w, length) @ x
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_temporal_batched_matches_per_example():
+    import numpy as np
+
+    from stair_tpu.models.modules import (
+        init_module_params,
+        temporal_related_attn,
+        temporal_related_attn_batched,
+    )
+
+    rng = np.random.RandomState(3)
+    for conv_mode, F in ((True, 64), (False, 16)):
+        params = init_module_params(
+            jax.random.PRNGKey(0),
+            {"hidden_size": 16, "max_video_length": F, "dropout": 0.0,
+             "object_types": 4, "have_pretrain_head": False},
+        )["temporal"]
+        mode = jnp.asarray(rng.randint(0, 4, (8,)), jnp.int32)
+        attn = jnp.asarray(rng.rand(8, F).astype(np.float32))
+        ref = jnp.stack([
+            temporal_related_attn(params, mode[b], attn[b], conv_mode)
+            for b in range(8)
+        ])
+        got = temporal_related_attn_batched(params, mode, attn, conv_mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)

@@ -115,6 +115,7 @@ def test_flash_kernel_interpret_parity():
         )
 
 
+@pytest.mark.slow
 def test_generation_and_lora():
     cfg_kw = dict(vocab_size=50, d_model=32, num_heads=2, num_layers=2,
                   d_ff=64, max_len=32)

@@ -29,6 +29,7 @@ def _copy_task_data(rng, n, src_len, vocab):
     return src, src_mask, tgt_in, tgt
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["lstm", "transformer", "t5"])
 def test_learns_copy_task_and_beam_decodes(arch):
     rng = np.random.RandomState(0)

@@ -83,6 +83,7 @@ def _setup(ds, args=None):
     return args, model, params, optimizer, opt_state, batcher, step_fn
 
 
+@pytest.mark.slow
 def test_loss_decreases(train_world):
     """Deterministic loss on one fixed probe batch must drop decisively
     after training. (Comparing a running per-batch loss is inherently flaky:
@@ -126,6 +127,7 @@ def test_loss_decreases(train_world):
     assert after < before, f"total loss did not decrease: {before} -> {after}"
 
 
+@pytest.mark.slow
 def test_gradients_flow_everywhere(train_world):
     """Every parameter the batch's programs exercise receives gradient."""
     from stair_tpu.train.losses import total_loss
@@ -155,6 +157,7 @@ def test_gradients_flow_everywhere(train_world):
         ), f"no gradient reached {needle}"
 
 
+@pytest.mark.slow
 def test_mesh_sharded_step_matches_single_device(train_world, cpu_devices):
     ds = train_world
     args, model, params, opt, opt_state, batcher, step_fn = _setup(ds)

@@ -106,6 +106,7 @@ def test_splice_and_forward():
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
 
 
+@pytest.mark.slow
 def test_sft_learns_and_generates():
     import optax
 
