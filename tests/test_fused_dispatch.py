@@ -249,3 +249,45 @@ def test_temporal_batched_matches_per_example():
         got = temporal_related_attn_batched(params, mode, attn, conv_mode)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_temporal_matches_module_fn(setup):
+    cfg, model, params, batch = setup
+    # Temporal(before, video, Localize(video, text)) -> frames; Filter root.
+    tokens = ["Filter", "Temporal", "before", "video", "Localize", "video",
+              "text_arg", "actions"]
+    tr, out = _run(model, params, batch, tokens)
+    vf, tf = _inputs(model, params, batch)
+    kw = jnp.mean(tf, axis=0)
+    mask = jnp.ones((F,))
+    loc_attn = M.localize_scores(
+        params["modules"]["localize"], vf, kw[None, :], mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )[0]
+    expected, expected_rel = M.temporal_module(
+        params["modules"]["temporal"], 1, vf, loc_attn, mask,
+        cfg.conv_temporal, 0.0, jax.random.PRNGKey(0), True,
+    )
+    t_instr = next(i for i in tr.instrs if i.opcode == 17)
+    got = out["regs_frames"][0, t_instr.out_frames]
+    got_rel = out["regs_attn"][0, t_instr.out_attn_b]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_rel), np.asarray(expected_rel),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_hasitem_matches_module_fn(setup):
+    cfg, model, params, batch = setup
+    tokens = ["Filter", "AttnVideo", "video", "HasItem", "video", "actions"]
+    tr, out = _run(model, params, batch, tokens)
+    vf, _ = _inputs(model, params, batch)
+    mask = jnp.ones((F,))
+    expected = M.hasitem_module(
+        params["modules"]["hasitem"], vf, mask, 0.0,
+        jax.random.PRNGKey(0), True,
+    )
+    hi = next(i for i in tr.instrs if i.opcode == 11)
+    got = out["regs_attn"][0, hi.out_attn]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
