@@ -55,10 +55,16 @@ def bench_jax(num_questions: int, batch_size: int,
     """The measured pipeline per batch of questions:
 
       host: parse annotation -> rewrite -> lower to instruction tables,
-            lemma-link free-text args to question spans, embed the question
-            tokens (GloVe-style lookup), pack padded arrays;
-      H2D:  instruction tables + question tensors;
-      TPU:  batched NMN forward (encoders + compiled executor + decoder).
+            lemma-link free-text args to question spans, tokenize the
+            question to embedding-table ids, pack padded arrays;
+      H2D:  instruction tables + token ids (inside the jit dispatch — one
+            transfer per batch, no per-array device_put round trips);
+      TPU:  embedding-table row gather + batched NMN forward (encoders +
+            compiled executor + decoder).
+
+    The word-embedding table lives on device (like the model parameters —
+    GloVe is static, loaded once in production) so per-question text costs
+    one [B, L] int32 id array over H2D instead of a [B, L, 300] f32 tensor.
 
     Questions/programs vary per batch over a >=100-template pool. Video
     features stay device-resident (they arrive via the prefetch input
@@ -69,6 +75,7 @@ def bench_jax(num_questions: int, batch_size: int,
     deployed endpoint with cached text embeddings sees).
     """
     import jax
+    import jax.numpy as jnp
 
     from stair_tpu.ir.lowering import pad_traces
     from stair_tpu.testing import workload
@@ -83,23 +90,46 @@ def bench_jax(num_questions: int, batch_size: int,
     )
     model, params = workload.build_model(cfg)
     batch = workload.make_batch(cfg, batch_size=batch_size)
+    L = batch["question"].shape[1]
 
-    fwd = jax.jit(
-        lambda p, b: model.forward(p, b, deterministic=True)["logits"]
-    )
+    embedder = workload.EmbeddingArena(300)
+    # The embedding vocabulary is static in production (GloVe); build the
+    # table from the full question pool and upload it once.
+    embedder.encode_batch([q for _, q in pool_pairs], L)
+
+    if serving:
+        fwd = jax.jit(
+            lambda p, b: model.forward(p, b, deterministic=True)["logits"]
+        )
+    else:
+        table = jax.device_put(embedder.table())
+        batch.pop("question")
+        batch.pop("question_mask")
+
+        def fwd_ids(p, table, ids, b):
+            q = jnp.where(
+                ids[:, :, None] >= 0, table[jnp.clip(ids, 0)], 0.0
+            )
+            b = dict(
+                b, question=q,
+                question_mask=(ids >= 0).astype(jnp.float32),
+            )
+            return model.forward(p, b, deterministic=True)["logits"]
+
+        fwd_ids = jax.jit(fwd_ids)
+        ids0 = np.zeros((batch_size, L), np.int32)
+
     batch = {
         k: (jax.device_put(v) if not isinstance(v, dict) else v)
         for k, v in batch.items()
     }
     # Warm-up / compile.
-    jax.block_until_ready(fwd(params, batch))
+    if serving:
+        jax.block_until_ready(fwd(params, batch))
+    else:
+        jax.block_until_ready(fwd_ids(params, table, ids0, batch))
 
     num_batches = max(1, num_questions // batch_size)
-    embedder = workload.EmbeddingArena(300)
-    L = batch["question"].shape[1]
-    # Pre-warm the vocabulary arena (a real deployment has GloVe in RAM; the
-    # per-question tokenize+lookup+gather cost stays inside the timed loop).
-    embedder.encode_batch([q for _, q in pool_pairs], L)
 
     # Prefer the native C++ parser+lowerer (exact-parity incl. span linking,
     # tests/test_native_parser.py); falls back to the Python pipeline.
@@ -154,14 +184,15 @@ def bench_jax(num_questions: int, batch_size: int,
         batch["trace"] = tb.fields
         batch["root_reg"] = tb.root_reg
         batch["root_is_vec"] = tb.root_is_vec
-        if not serving:
-            # Host: per-question embedding (native row gather); H2D inside
-            # the timed loop.
-            q_emb, q_mask = embedder.encode_batch(questions, L)
-            batch["question"] = jax.device_put(q_emb)
-            batch["question_mask"] = jax.device_put(q_mask)
-        host_time += time.perf_counter() - tp0
-        logits = fwd(params, batch)
+        if serving:
+            host_time += time.perf_counter() - tp0
+            logits = fwd(params, batch)
+        else:
+            # Host: tokenize to table ids; the H2D transfer and the
+            # embedding gather ride the single jit dispatch below.
+            ids = embedder.token_id_batch(questions, L)
+            host_time += time.perf_counter() - tp0
+            logits = fwd_ids(params, table, ids, batch)
         done += batch_size
     jax.block_until_ready(logits)
     elapsed = time.perf_counter() - t0
@@ -248,7 +279,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--questions", type=int, default=None)
-    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--parse-workers", type=int, default=None,
                     help="host parse parallelism (default: min(8, cpus))")

@@ -152,6 +152,20 @@ class EmbeddingArena:
             ids[i] = self._id(w)
         return ids
 
+    def token_id_batch(self, questions: list[str], max_len: int):
+        """-> ids [B, L] int32 (-1 = pad). For device-side table lookup:
+        ship the small id array over H2D and gather rows from a
+        device-resident embedding table inside the jitted forward."""
+        return np.stack(
+            [self.token_ids(q, max_len) for q in questions]
+        ).astype(np.int32)
+
+    def table(self) -> np.ndarray:
+        """The embedding table as one [V, dim] f32 block (device-uploadable)."""
+        if self._arena is None:
+            self._arena = np.ascontiguousarray(np.stack(self._rows))
+        return self._arena
+
     def encode_batch(self, questions: list[str], max_len: int):
         """-> (emb [B, L, dim] float32, mask [B, L] float32)."""
         B = len(questions)
