@@ -44,7 +44,7 @@ def native_lib():
             )
         lib = ctypes.CDLL(_LIB)
         lib.stair_native_version.restype = ctypes.c_int
-        assert lib.stair_native_version() == 1
+        assert lib.stair_native_version() == 2
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -57,6 +57,21 @@ def native_lib():
         ]
         lib.stair_gather_rows_f32.argtypes = [
             f32p, i64p, ctypes.c_int64, ctypes.c_int64, f32p, ctypes.c_int,
+        ]
+        lib.stair_vocab_reset.argtypes = []
+        lib.stair_vocab_add_words.restype = ctypes.c_int64
+        lib.stair_vocab_add_words.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int64,
+        ]
+        lib.stair_vocab_size.restype = ctypes.c_int64
+        lib.stair_vocab_size.argtypes = []
+        lib.stair_vocab_word.restype = ctypes.c_int64
+        lib.stair_vocab_word.argtypes = [
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.stair_tokenize_ids.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32,
         ]
         _lib = lib
     except Exception:

@@ -15,10 +15,14 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -46,6 +50,17 @@ void parallel_for(int64_t n, int threads, F fn) {
   }
   for (auto& t : pool) t.join();
 }
+
+// Word vocabulary for host-side question tokenization. Mirrors the Python
+// EmbeddingArena's first-seen id assignment: Python seeds it with the
+// arena's word list (stair_vocab_add_words) and, after a tokenize call
+// that grew it, reads back the new words to compute their embedding rows.
+struct Vocab {
+  std::mutex mu;
+  std::unordered_map<std::string, int32_t> word2id;
+  std::vector<std::string> words;
+};
+Vocab g_vocab;
 
 }  // namespace
 
@@ -108,6 +123,81 @@ void stair_gather_rows_f32(const float* table, const int64_t* ids, int64_t n,
   });
 }
 
-int stair_native_version() { return 1; }
+// ---- question tokenization (str.lower().split() -> vocab ids) --------------
+
+// Reset the vocabulary (e.g. before re-seeding from a fresh arena).
+void stair_vocab_reset() {
+  std::lock_guard<std::mutex> lock(g_vocab.mu);
+  g_vocab.word2id.clear();
+  g_vocab.words.clear();
+}
+
+// Append words (concatenated, NUL-separated) in order; ids are assigned
+// first-seen, matching EmbeddingArena._id. Returns the vocabulary size.
+int64_t stair_vocab_add_words(const char* blob, const int64_t* offsets,
+                              int64_t n) {
+  std::lock_guard<std::mutex> lock(g_vocab.mu);
+  for (int64_t i = 0; i < n; ++i) {
+    std::string w(blob + offsets[i]);
+    if (g_vocab.word2id.emplace(w, (int32_t)g_vocab.words.size()).second)
+      g_vocab.words.push_back(std::move(w));
+  }
+  return (int64_t)g_vocab.words.size();
+}
+
+int64_t stair_vocab_size() {
+  std::lock_guard<std::mutex> lock(g_vocab.mu);
+  return (int64_t)g_vocab.words.size();
+}
+
+// Copy word `i` into buf (NUL-terminated); returns its length or -1.
+int64_t stair_vocab_word(int64_t i, char* buf, int64_t cap) {
+  std::lock_guard<std::mutex> lock(g_vocab.mu);
+  if (i < 0 || i >= (int64_t)g_vocab.words.size()) return -1;
+  const std::string& w = g_vocab.words[i];
+  if ((int64_t)w.size() + 1 > cap) return -1;
+  std::memcpy(buf, w.c_str(), w.size() + 1);
+  return (int64_t)w.size();
+}
+
+// Tokenize a batch of sentences to vocabulary ids:
+// ``sentence.lower().split()[:max_len]`` semantics (ASCII lowercase — the
+// AGQA question corpus is ASCII). ids_out [batch, max_len] int32, -1 = pad.
+// With grow != 0, unseen words are appended to the vocabulary (the caller
+// then syncs new embedding rows); otherwise they map to -1.
+void stair_tokenize_ids(const char* blob, const int64_t* offsets,
+                        int64_t batch, int32_t max_len, int32_t* ids_out,
+                        int32_t grow) {
+  std::lock_guard<std::mutex> lock(g_vocab.mu);
+  std::string word;
+  for (int64_t b = 0; b < batch; ++b) {
+    const char* s = blob + offsets[b];
+    int32_t* row = ids_out + b * max_len;
+    std::fill(row, row + max_len, -1);
+    int32_t k = 0;
+    for (const char* p = s; *p != '\0' && k < max_len;) {
+      while (*p != '\0' && std::isspace((unsigned char)*p)) ++p;
+      if (*p == '\0') break;
+      word.clear();
+      while (*p != '\0' && !std::isspace((unsigned char)*p)) {
+        word.push_back((char)std::tolower((unsigned char)*p));
+        ++p;
+      }
+      auto it = g_vocab.word2id.find(word);
+      if (it != g_vocab.word2id.end()) {
+        row[k++] = it->second;
+      } else if (grow) {
+        int32_t id = (int32_t)g_vocab.words.size();
+        g_vocab.word2id.emplace(word, id);
+        g_vocab.words.push_back(word);
+        row[k++] = id;
+      } else {
+        row[k++] = -1;
+      }
+    }
+  }
+}
+
+int stair_native_version() { return 2; }
 
 }  // extern "C"

@@ -22,6 +22,8 @@
 #include <cstring>
 #include <map>
 #include <set>
+#include <unordered_map>
+#include <unordered_set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -43,7 +45,7 @@ enum Field {
 };
 constexpr int SCRATCH = -1;
 
-const std::map<std::string, int> kParseArity = {
+const std::unordered_map<std::string, int> kParseArity = {
     {"Array1", 1}, {"HasItem", 1}, {"OnlyItem", 1},
     {"Array2", 2}, {"AND", 2}, {"XOR", 2}, {"And", 2}, {"Xor", 2},
     {"Compare", 2}, {"Equals", 2}, {"Exists", 2}, {"Filter", 2},
@@ -53,24 +55,24 @@ const std::map<std::string, int> kParseArity = {
     {"IterateUntil", 4},
 };
 
-std::map<std::string, int> MakeNmnArity() {
-  std::map<std::string, int> m = kParseArity;
+std::unordered_map<std::string, int> MakeNmnArity() {
+  std::unordered_map<std::string, int> m = kParseArity;
   m["Query"] = 1;
   m["Relate"] = 2; m["AttnVideo"] = 2; m["FilterFrame"] = 2;
   m["ExistsFrame"] = 2; m["XorFrame"] = 2; m["Temporal"] = 3;
   m.erase("Subtract");
   return m;
 }
-const std::map<std::string, int> kNmnArity = MakeNmnArity();
+const std::unordered_map<std::string, int> kNmnArity = MakeNmnArity();
 
-const std::map<std::string, int> kTemporalModes = {
+const std::unordered_map<std::string, int> kTemporalModes = {
     {"while", 0}, {"before", 1}, {"after", 2}, {"between", 3}};
-const std::map<std::string, int> kRelateModes = {
+const std::unordered_map<std::string, int> kRelateModes = {
     {"forward", 0}, {"backward", 1}};
-const std::map<std::string, int> kSuperlativeModes = {{"max", 0}, {"min", 1}};
-const std::map<std::string, int> kTypeKeywords = {
+const std::unordered_map<std::string, int> kSuperlativeModes = {{"max", 0}, {"min", 1}};
+const std::unordered_map<std::string, int> kTypeKeywords = {
     {"actions", 0}, {"objects", 1}, {"relations", 2}};
-const std::set<std::string> kStackKeywords = {
+const std::unordered_set<std::string> kStackKeywords = {
     "while", "before", "after", "between", "forward", "backward",
     "max", "min", "actions", "objects", "relations", "start", "end"};
 
@@ -413,7 +415,7 @@ std::vector<std::string> TextTokenize(const std::string& sentence) {
 }
 
 // text.py:_FUNCTION_WORDS (word -> POS tag).
-const std::map<std::string, std::string> kFunctionWords = {
+const std::unordered_map<std::string, std::string> kFunctionWords = {
     {"the", "DT"}, {"a", "DT"}, {"an", "DT"}, {"some", "DT"}, {"this", "DT"},
     {"that", "DT"}, {"these", "DT"}, {"those", "DT"},
     {"they", "PRP"}, {"he", "PRP"}, {"she", "PRP"}, {"it", "PRP"},
@@ -432,7 +434,7 @@ const std::map<std::string, std::string> kFunctionWords = {
     {"?", "."}, {".", "."}, {",", ","},
 };
 
-const std::set<std::string> kIrregularVerbs = {
+const std::unordered_set<std::string> kIrregularVerbs = {
     "took", "held", "ate", "sat", "stood", "threw", "put", "ran", "lay",
     "went", "drank", "began", "got", "left", "made", "opened", "closed"};
 
@@ -454,7 +456,7 @@ std::string PosTag(const std::string& word) {
 }
 
 // text.py:_VERB_LEMMAS / _NOUN_LEMMAS.
-const std::map<std::string, std::string> kVerbLemmas = {
+const std::unordered_map<std::string, std::string> kVerbLemmas = {
     {"took", "take"}, {"taken", "take"}, {"taking", "take"},
     {"held", "hold"}, {"holding", "hold"},
     {"ate", "eat"}, {"eaten", "eat"}, {"eating", "eat"},
@@ -486,7 +488,7 @@ const std::map<std::string, std::string> kVerbLemmas = {
     {"looking", "look"}, {"starting", "start"},
 };
 
-const std::map<std::string, std::string> kNounLemmas = {
+const std::unordered_map<std::string, std::string> kNounLemmas = {
     {"dishes", "dish"}, {"boxes", "box"}, {"glasses", "glass"},
     {"shoes", "shoe"}, {"clothes", "clothes"}, {"groceries", "grocery"},
     {"shelves", "shelf"}, {"feet", "foot"}, {"children", "child"},
@@ -550,37 +552,45 @@ std::string Lemmatize(const std::string& word, char pos) {
 }
 
 // spans.py:QUESTION_WORD_RULES / PROGRAM_WORD_RULES.
-const std::map<std::string, std::string> kQuestionRules = {
+const std::unordered_map<std::string, std::string> kQuestionRules = {
     {"consume", "eat"}, {"consuming", "eat"}, {"ate", "eat"},
     {"taking", "take"}, {"sneezing", "sneeze"}, {"drank", "drink"},
     {"wiping", "wipe"}, {"drinking", "drink"}, {"closing", "close"},
     {"lay", "lie"},
 };
-const std::map<std::string, std::string> kProgramRules = {
+const std::unordered_map<std::string, std::string> kProgramRules = {
     {"opening", "open"}, {"closing", "close"}, {"sitting on", "sit"},
     {"playing on", "play"}, {"drinking", "drink"}, {"putting down", "put"},
     {"consuming", "eat"},
 };
 
+std::string NormalizeQuestionWordUncached(const std::string& w0) {
+  auto r = kQuestionRules.find(w0);
+  const std::string& w = (r != kQuestionRules.end()) ? r->second : w0;
+  std::string tag = EndsWith(w, "ing") ? "V" : PosTag(w);
+  char p = std::tolower(static_cast<unsigned char>(tag[0]));
+  if ((p == 'v' || p == 'n') && w != "clothes") return Lemmatize(w, p);
+  return w;
+}
+
 std::vector<std::string> NormalizeQuestion(const std::string& question) {
+  // Word -> normalized-word is a pure function; question vocabulary is
+  // small and repeats across a batch, so memoize it (thread-local: the
+  // batch entry point fans work across threads).
+  thread_local std::unordered_map<std::string, std::string> memo;
   std::vector<std::string> words = TextTokenize(question);
   std::vector<std::string> out;
   out.reserve(words.size());
   for (auto& w0 : words) {
-    auto r = kQuestionRules.find(w0);
-    const std::string& w = (r != kQuestionRules.end()) ? r->second : w0;
-    std::string tag = EndsWith(w, "ing") ? "V" : PosTag(w);
-    char p = std::tolower(static_cast<unsigned char>(tag[0]));
-    if ((p == 'v' || p == 'n') && w != "clothes") {
-      out.push_back(Lemmatize(w, p));
-    } else {
-      out.push_back(w);
-    }
+    auto it = memo.find(w0);
+    if (it == memo.end())
+      it = memo.emplace(w0, NormalizeQuestionWordUncached(w0)).first;
+    out.push_back(it->second);
   }
   return out;
 }
 
-std::vector<std::string> NormalizeProgram(const std::string& token) {
+std::vector<std::string> NormalizeProgramUncached(const std::string& token) {
   std::string phrase(token);
   for (auto& c : phrase)
     if (c == '_') c = ' ';
@@ -603,6 +613,16 @@ std::vector<std::string> NormalizeProgram(const std::string& token) {
   return out;
 }
 
+const std::vector<std::string>& NormalizeProgram(const std::string& token) {
+  // Free-text program arguments come from a small closed vocabulary
+  // (AGQA object/action/relation names, ~200 strings) — memoize.
+  thread_local std::unordered_map<std::string, std::vector<std::string>> memo;
+  auto it = memo.find(token);
+  if (it == memo.end())
+    it = memo.emplace(token, NormalizeProgramUncached(token)).first;
+  return it->second;
+}
+
 // spans.py:_find_subsequence — note range(len(h) - len(n)): the last legal
 // start position is deliberately excluded (reference parity quirk).
 int FindSubsequence(const std::vector<std::string>& hay,
@@ -621,7 +641,7 @@ int FindSubsequence(const std::vector<std::string>& hay,
 
 // Tokens the span linker skips (parser.py ALL_RESERVED members that can
 // reach the PUSH_TEXT branch).
-const std::set<std::string> kSpanSkip = {"frame", "class", "temporal_tag"};
+const std::unordered_set<std::string> kSpanSkip = {"frame", "class", "temporal_tag"};
 
 // ---- lowering (lowering.py:lower_program) ----------------------------------
 enum Kind { K_VEC, K_FRAMES, K_ATTN, K_KW };
@@ -636,31 +656,16 @@ struct Meta {
   int steps, num_vec, num_frames, num_attn, root_reg, root_is_vec;
 };
 
-const std::set<std::string> kSupervisedFamilies = {
-    "Exists", "Xor", "Equals", "Filter", "ToAction", "FilterFrame",
-    "ExistsFrame", "Superlative", "Localize", "Temporal"};
-
-std::string Family(int op) {
+// Supervised module families (Exists/Xor/Equals/Filter/ToAction/
+// FilterFrame/ExistsFrame/Superlative/Localize/Temporal) by opcode.
+bool SupervisedOp(int op) {
   switch (op) {
-    case AND_VEC: case AND_ATTN: return "And";
-    case COMPARE: return "Compare";
-    case EQUALS: return "Equals";
-    case CHOOSE: return "Choose";
-    case XOR: return "Xor";
-    case XORFRAME: return "XorFrame";
-    case QUERY: return "Query";
-    case TOACTION: return "ToAction";
-    case HASITEM: return "HasItem";
-    case EXISTS: return "Exists";
-    case EXISTSFRAME: return "ExistsFrame";
-    case LOCALIZE: return "Localize";
-    case SUPERLATIVE_V: case SUPERLATIVE_F: return "Superlative";
-    case TEMPORAL: return "Temporal";
-    case ATTNVIDEO: return "AttnVideo";
-    case FILTER_V: case FILTER_K: return "Filter";
-    case FILTERFRAME_V: case FILTERFRAME_K: return "FilterFrame";
-    case RELATE: return "Relate";
-    default: return "";
+    case EQUALS: case XOR: case TOACTION: case EXISTS: case EXISTSFRAME:
+    case LOCALIZE: case SUPERLATIVE_V: case SUPERLATIVE_F: case TEMPORAL:
+    case FILTER_V: case FILTER_K: case FILTERFRAME_V: case FILTERFRAME_K:
+      return true;
+    default:
+      return false;
   }
 }
 
@@ -736,7 +741,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
         r.f[F_SPAN_START] = miss;
         r.f[F_SPAN_END] = miss;
         if (norm_question != nullptr && !kSpanSkip.count(t)) {
-          auto needle = spanlink::NormalizeProgram(t);
+          const auto& needle = spanlink::NormalizeProgram(t);
           int st = spanlink::FindSubsequence(*norm_question, needle);
           if (st >= 0) {
             r.f[F_SPAN_START] = st;
@@ -926,8 +931,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
     }
 
     int op = r.f[F_OPCODE];
-    r.sup = (src >= 0 && pos != 0 &&
-             kSupervisedFamilies.count(Family(op))) ? 1 : 0;
+    r.sup = (src >= 0 && pos != 0 && SupervisedOp(op)) ? 1 : 0;
     // scratch sentinels for unused outputs
     if (!ProducesVec(op)) r.f[F_OUT_VEC] = SCRATCH;
     if (!ProducesFrames(op)) r.f[F_OUT_FRAMES] = SCRATCH;

@@ -9,6 +9,8 @@ question/video tensors, and the full lowering path. Used by
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from stair_tpu.ir.lowering import lower_program, pad_traces
@@ -136,6 +138,7 @@ class EmbeddingArena:
         self._rows: list[np.ndarray] = []
         self._source = HashEmbeddings(dim)
         self._arena: np.ndarray | None = None
+        self._native_synced = 0  # words mirrored into the C++ vocab
 
     def _id(self, word: str) -> int:
         idx = self.word2id.get(word)
@@ -155,10 +158,45 @@ class EmbeddingArena:
     def token_id_batch(self, questions: list[str], max_len: int):
         """-> ids [B, L] int32 (-1 = pad). For device-side table lookup:
         ship the small id array over H2D and gather rows from a
-        device-resident embedding table inside the jitted forward."""
-        return np.stack(
-            [self.token_ids(q, max_len) for q in questions]
-        ).astype(np.int32)
+        device-resident embedding table inside the jitted forward.
+
+        Tokenizes in C++ (``stair_tokenize_ids``) when the native library
+        is available, mirroring this arena's first-seen id assignment; new
+        words the tokenizer encounters are synced back as embedding rows."""
+        from stair_tpu.runtime.loader import _pack_strings, native_lib
+
+        lib = native_lib()
+        if lib is None:
+            return np.stack(
+                [self.token_ids(q, max_len) for q in questions]
+            ).astype(np.int32)
+        if lib.stair_vocab_size() != self._native_synced:
+            # Another arena (or a stale process state) owns the global
+            # vocab: rebuild it from scratch to this arena's ids.
+            lib.stair_vocab_reset()
+            self._native_synced = 0
+        if self._native_synced < len(self._rows):
+            words = [None] * len(self.word2id)
+            for w, i in self.word2id.items():
+                words[i] = w
+            blob, offs = _pack_strings(words[self._native_synced:])
+            self._native_synced = lib.stair_vocab_add_words(
+                blob, offs, len(words) - self._native_synced
+            )
+        blob, offs = _pack_strings(questions)
+        ids = np.empty((len(questions), max_len), np.int32)
+        lib.stair_tokenize_ids(blob, offs, len(questions), max_len, ids, 1)
+        new_size = lib.stair_vocab_size()
+        if new_size != self._native_synced:
+            # The tokenizer minted ids for unseen words: materialize their
+            # embedding rows in the same order so ids stay aligned.
+            buf = ctypes.create_string_buffer(4096)
+            for i in range(self._native_synced, new_size):
+                assert lib.stair_vocab_word(i, buf, 4096) >= 0
+                got = self._id(buf.value.decode())
+                assert got == i, (got, i)
+            self._native_synced = new_size
+        return ids
 
     def table(self) -> np.ndarray:
         """The embedding table as one [V, dim] f32 block (device-uploadable)."""

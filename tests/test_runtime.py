@@ -89,3 +89,30 @@ def test_gather_speed_sanity():
     dt = (time.perf_counter() - t0) / 5
     # 256 x 64 x 1024 x 4B = 67 MB per gather; expect well under 200ms.
     assert dt < 5.0, f"gather too slow: {dt:.3f}s"
+
+
+def test_native_tokenizer_matches_python():
+    """stair_tokenize_ids mirrors EmbeddingArena.token_ids exactly:
+    lower().split() semantics, first-seen id assignment, growth sync."""
+    from stair_tpu.runtime.loader import native_lib
+    from stair_tpu.testing.workload import EmbeddingArena
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    qs = [
+        "What did The person take before eating?",
+        "was  the towel touched?",
+        "",
+        "a b c d e f g h i j k",  # truncation past max_len
+    ]
+    native = EmbeddingArena(16)
+    python = EmbeddingArena(16)
+    ref = np.stack([python.token_ids(q, 8) for q in qs]).astype(np.int32)
+    got = native.token_id_batch(qs, 8)
+    np.testing.assert_array_equal(ref, got)
+    # Growth after the initial sync: new words mint aligned ids + rows.
+    got2 = native.token_id_batch(["zebra towel What"], 8)
+    ref2 = python.token_ids("zebra towel What", 8).astype(np.int32)
+    np.testing.assert_array_equal(ref2, got2[0])
+    assert native.word2id == python.word2id
+    np.testing.assert_allclose(native.table(), python.table())
