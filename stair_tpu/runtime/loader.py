@@ -160,7 +160,7 @@ def parser_lib():
         if (not os.path.exists(_PARSER_LIB)
                 or os.path.getmtime(_PARSER_LIB) < os.path.getmtime(_PARSER_SRC)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                ["g++", "-std=c++20", "-O3", "-shared", "-fPIC", "-pthread",
                  _PARSER_SRC, "-o", _PARSER_LIB],
                 check=True, capture_output=True,
             )
@@ -183,12 +183,14 @@ def parser_lib():
 
 
 def _pack_strings(strings: list[str]):
-    blob = b"\0".join(s.encode() for s in strings) + b"\0"
-    offsets = np.zeros((len(strings),), np.int64)
-    pos = 0
-    for i, s in enumerate(strings):
-        offsets[i] = pos
-        pos += len(s.encode()) + 1
+    if not strings:
+        return b"\0", np.zeros((0,), np.int64)
+    encoded = [s.encode() for s in strings]
+    blob = b"\0".join(encoded) + b"\0"
+    lengths = np.fromiter(
+        (len(e) + 1 for e in encoded), np.int64, count=len(encoded)
+    )
+    offsets = np.concatenate(([0], np.cumsum(lengths[:-1])))
     return blob, offsets
 
 

@@ -13,7 +13,7 @@
 // whole-question-mean sentinel (-1). Programs outside the supported kind
 // system return an error and the caller falls back to Python.
 //
-// Build: g++ -O3 -shared -fPIC -pthread parser.cpp -o _parser.so
+// Build: g++ -std=c++20 -O3 -shared -fPIC -pthread parser.cpp -o _parser.so
 
 #include <algorithm>
 #include <atomic>
@@ -25,10 +25,25 @@
 #include <unordered_map>
 #include <unordered_set>
 #include <string>
+#include <string_view>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Heterogeneous (string_view) lookup for the hot token tables.
+struct SvHash {
+  using is_transparent = void;
+  size_t operator()(std::string_view sv) const {
+    return std::hash<std::string_view>{}(sv);
+  }
+};
+template <typename V>
+using TokenMap =
+    std::unordered_map<std::string, V, SvHash, std::equal_to<>>;
+using TokenSet =
+    std::unordered_set<std::string, SvHash, std::equal_to<>>;
+
 
 // ---- opcode/field layout: must match stair_tpu/ir/lowering.py -------------
 enum Op {
@@ -45,7 +60,7 @@ enum Field {
 };
 constexpr int SCRATCH = -1;
 
-const std::unordered_map<std::string, int> kParseArity = {
+const TokenMap<int> kParseArity = {
     {"Array1", 1}, {"HasItem", 1}, {"OnlyItem", 1},
     {"Array2", 2}, {"AND", 2}, {"XOR", 2}, {"And", 2}, {"Xor", 2},
     {"Compare", 2}, {"Equals", 2}, {"Exists", 2}, {"Filter", 2},
@@ -55,29 +70,29 @@ const std::unordered_map<std::string, int> kParseArity = {
     {"IterateUntil", 4},
 };
 
-std::unordered_map<std::string, int> MakeNmnArity() {
-  std::unordered_map<std::string, int> m = kParseArity;
+TokenMap<int> MakeNmnArity() {
+  TokenMap<int> m = kParseArity;
   m["Query"] = 1;
   m["Relate"] = 2; m["AttnVideo"] = 2; m["FilterFrame"] = 2;
   m["ExistsFrame"] = 2; m["XorFrame"] = 2; m["Temporal"] = 3;
   m.erase("Subtract");
   return m;
 }
-const std::unordered_map<std::string, int> kNmnArity = MakeNmnArity();
+const TokenMap<int> kNmnArity = MakeNmnArity();
 
-const std::unordered_map<std::string, int> kTemporalModes = {
+const TokenMap<int> kTemporalModes = {
     {"while", 0}, {"before", 1}, {"after", 2}, {"between", 3}};
-const std::unordered_map<std::string, int> kRelateModes = {
+const TokenMap<int> kRelateModes = {
     {"forward", 0}, {"backward", 1}};
-const std::unordered_map<std::string, int> kSuperlativeModes = {{"max", 0}, {"min", 1}};
-const std::unordered_map<std::string, int> kTypeKeywords = {
+const TokenMap<int> kSuperlativeModes = {{"max", 0}, {"min", 1}};
+const TokenMap<int> kTypeKeywords = {
     {"actions", 0}, {"objects", 1}, {"relations", 2}};
-const std::unordered_set<std::string> kStackKeywords = {
+const TokenSet kStackKeywords = {
     "while", "before", "after", "between", "forward", "backward",
     "max", "min", "actions", "objects", "relations", "start", "end"};
 
 struct Cell {
-  std::string tok;
+  std::string_view tok;
   int src;  // original token index or -1
 };
 
@@ -85,54 +100,59 @@ struct Cell {
 // Returns false on malformed bracket nesting (caller falls back to Python,
 // which raises cleanly) — a bad annotation string must never be UB here.
 bool Tokenize(const std::string& input, std::vector<std::string>* result) {
-  std::string s;
-  s.reserve(input.size() * 2);
+  // Single pass over the annotation, emitting the ';'-separated segments
+  // of the original two-pass formulation directly (", "/"("/bracket edges
+  // are delimiters, ' ' -> '_', ')' dropped; every delimiter emits a
+  // segment, including empty ones — quirk preserved from the Python
+  // tokenizer, parser.py:tokenize_annotation).
+  std::vector<std::string> raw;
+  raw.reserve(input.size() / 4 + 4);
+  std::string cur;
   for (size_t i = 0; i < input.size(); ++i) {
     char c = input[i];
     if (c == ',' && i + 1 < input.size() && input[i + 1] == ' ') {
-      s += ';';
+      raw.push_back(std::move(cur));
+      cur.clear();
       ++i;
     } else if (c == ' ') {
-      s += '_';
+      cur += '_';
     } else if (c == '(') {
-      s += ';';
+      raw.push_back(std::move(cur));
+      cur.clear();
     } else if (c == ')') {
       // dropped
     } else if (c == '[') {
-      s += "[;";
+      cur += '[';
+      raw.push_back(std::move(cur));
+      cur.clear();
     } else if (c == ']') {
-      s += ";]";
+      raw.push_back(std::move(cur));
+      cur = "]";
     } else {
-      s += c;
+      cur += c;
     }
   }
-  std::vector<std::string> raw;
-  size_t start = 0;
-  for (size_t i = 0; i <= s.size(); ++i) {
-    if (i == s.size() || s[i] == ';') {
-      raw.push_back(s.substr(start, i - start));
-      start = i + 1;
-    }
-  }
+  raw.push_back(std::move(cur));
   // Bracket -> ArrayN (top-level item count).
   std::vector<std::string> out;
+  out.reserve(raw.size());
   std::vector<size_t> open;
   for (auto& tok : raw) {
     if (tok == "[") {
       open.push_back(out.size());
-      out.push_back(tok);
+      out.push_back(std::move(tok));
     } else if (tok == "]") {
       if (open.empty()) return false;  // unmatched ']'
       size_t b = open.back();
       open.pop_back();
       int items = static_cast<int>(out.size() - b - 1);
       for (size_t j = b + 1; j < out.size(); ++j) {
-        auto it = kParseArity.find(out[j]);
+        auto it = kParseArity.find(std::string_view(out[j]));
         if (it != kParseArity.end()) items -= it->second;
       }
       out[b] = "Array" + std::to_string(items);
     } else {
-      out.push_back(tok);
+      out.push_back(std::move(tok));
     }
   }
   if (!open.empty()) return false;  // unmatched '['
@@ -186,7 +206,7 @@ bool LinearRewrites(std::vector<Cell>* prog, std::vector<int>* iterate_marks) {
   auto& p = *prog;
   size_t i = 0;
   while (i < p.size()) {
-    const std::string& t = p[i].tok;
+    const std::string_view t = p[i].tok;
     if (t == "OnlyItem" || t == "Array1") {
       p.erase(p.begin() + i);
       continue;
@@ -641,7 +661,7 @@ int FindSubsequence(const std::vector<std::string>& hay,
 
 // Tokens the span linker skips (parser.py ALL_RESERVED members that can
 // reach the PUSH_TEXT branch).
-const std::unordered_set<std::string> kSpanSkip = {"frame", "class", "temporal_tag"};
+const TokenSet kSpanSkip = {"frame", "class", "temporal_tag"};
 
 // ---- lowering (lowering.py:lower_program) ----------------------------------
 enum Kind { K_VEC, K_FRAMES, K_ATTN, K_KW };
@@ -649,7 +669,7 @@ struct Val {
   Kind kind;
   int r0 = 0, r1 = 0;
   int nregs = 1;
-  std::string kw;
+  std::string_view kw;
 };
 
 struct Meta {
@@ -718,7 +738,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
 
   int n = static_cast<int>(prog.size());
   for (int pos = n - 1; pos >= 0; --pos) {
-    const std::string& t = prog[pos].tok;
+    const std::string_view t = prog[pos].tok;
     int src = prog[pos].src;
     auto ar = kNmnArity.find(t);
     if (ar == kNmnArity.end()) {
@@ -741,7 +761,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
         r.f[F_SPAN_START] = miss;
         r.f[F_SPAN_END] = miss;
         if (norm_question != nullptr && !kSpanSkip.count(t)) {
-          const auto& needle = spanlink::NormalizeProgram(t);
+          const auto& needle = spanlink::NormalizeProgram(std::string(t));
           int st = spanlink::FindSubsequence(*norm_question, needle);
           if (st >= 0) {
             r.f[F_SPAN_START] = st;
@@ -850,7 +870,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
     } else if (t == "Superlative") {
       Val mode = pop();
       if (mode.kind != K_KW || !kSuperlativeModes.count(mode.kw)) return false;
-      r.f[F_MODE] = kSuperlativeModes.at(mode.kw);
+      r.f[F_MODE] = kSuperlativeModes.find(mode.kw)->second;
       Val actions = pop();
       if (actions.kind == K_VEC) {
         r.f[F_OPCODE] = SUPERLATIVE_V;
@@ -871,7 +891,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
     } else if (t == "Temporal") {
       Val mode = pop();
       if (mode.kind != K_KW || !kTemporalModes.count(mode.kw)) return false;
-      r.f[F_MODE] = kTemporalModes.at(mode.kw);
+      r.f[F_MODE] = kTemporalModes.find(mode.kw)->second;
       Val feat = pop();
       if (feat.kind != K_FRAMES) return false;
       r.f[F_FA] = feat.r0;
@@ -905,7 +925,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
         r.f[F_VA] = kw.r0;
       } else if (kw.kind == K_KW && kTypeKeywords.count(kw.kw)) {
         r.f[F_OPCODE] = frame ? FILTERFRAME_K : FILTER_K;
-        r.f[F_MODE] = kTypeKeywords.at(kw.kw);
+        r.f[F_MODE] = kTypeKeywords.find(kw.kw)->second;
       } else {
         return false;
       }
@@ -919,7 +939,7 @@ bool Lower(const std::vector<Cell>& prog, int cap_steps,
     } else if (t == "Relate") {
       Val mode = pop();
       if (mode.kind != K_KW || !kRelateModes.count(mode.kw)) return false;
-      r.f[F_MODE] = kRelateModes.at(mode.kw);
+      r.f[F_MODE] = kRelateModes.find(mode.kw)->second;
       Val attn = pop();
       if (attn.kind != K_ATTN) return false;
       r.f[F_OPCODE] = RELATE;
