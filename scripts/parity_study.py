@@ -136,9 +136,12 @@ def ours(args):
     from stair_tpu.train import loop
     from stair_tpu.train.args import get_args
 
-    run = os.path.join(args.root, "ours")
+    run = os.path.join(args.root, args.ours_run)
+    extra = []
+    if args.encoder != "lstm":
+        extra += ["--encoder", args.encoder]
     steps_per_epoch = max(1, args_count(args, "train") // args.batch_size)
-    targs = get_args(_common_flags(args) + [
+    targs = get_args(_common_flags(args) + extra + [
         "--output", run, "--num-epochs", str(args.ours_epochs),
         "--batch-size", str(args.batch_size),
         "--evaluate-interval", str(steps_per_epoch),
@@ -150,7 +153,7 @@ def ours(args):
     best = loop.main(targs)
     print(f"ours: best valid acc {best:.4f} ({time.time() - t0:.0f}s)")
 
-    eargs = get_args(_common_flags(args) + [
+    eargs = get_args(_common_flags(args) + extra + [
         "--output", run,
         "--model-ckpt", os.path.join(run, "best_model"),
         "--evaluate-func", "acc", "--result-filename", "test_preds.json",
@@ -349,9 +352,20 @@ def report(args):
             out.append("more_steps")
         return out
 
+    # Extra stair-tpu variants (e.g. --ours-run ours_transformer) report
+    # alongside the primary run.
+    variants = []
+    for d in sorted(os.listdir(args.root)):
+        if d in ("ours", "reference"):
+            continue
+        vp = os.path.join(args.root, d, "test_preds.json")
+        if os.path.exists(vp):
+            variants.append(("stair_tpu_" + d.removeprefix("ours_"),
+                             _load_preds(vp)))
+
     result = {"n_test": len(ours_preds), "models": {}}
-    for name, preds in (("stair_tpu", ours_preds),
-                        ("reference", ref_preds)):
+    for name, preds in [("stair_tpu", ours_preds),
+                        ("reference", ref_preds)] + variants:
         if preds is None:
             continue
         accs = {}
@@ -413,6 +427,11 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--ours-epochs", type=int, default=40)
     ap.add_argument("--ref-epochs", type=int, default=6)
+    ap.add_argument("--ours-run", default="ours",
+                    help="run subdirectory for the stair-tpu trainer")
+    ap.add_argument("--encoder", default="lstm",
+                    choices=["lstm", "transformer"],
+                    help="stair-tpu encoder variant for this run")
     args = ap.parse_args(argv)
     if args.func == "build":
         build(args)
