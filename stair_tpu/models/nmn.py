@@ -573,6 +573,25 @@ class VideoNMN:
             return (rv, rf, ra), None
 
         T = trace_fields["opcode"].shape[1]
+        # Rematerialize the scan step in the backward pass, keeping matmul
+        # outputs (checkpoint_dots). Without this the scan stacks every
+        # elementwise intermediate as a [T, B, F, H] residual — including
+        # f32 upcasts and dropout masks — and the backward is dominated by
+        # re-reading them from HBM (profiled: 38.3 -> 33.5 ms/step at
+        # B=128/H=512/F=64 bf16; full remat 35.9, no-batch-dims 36.8).
+        # STAIR_REMAT overrides for perf triage: 0 (off), full, dots.
+        # Eval forwards (deterministic, never differentiated) skip the
+        # wrapper — it exists purely for backward-pass residual traffic.
+        remat = _os.environ.get("STAIR_REMAT", "dots")
+        if deterministic:
+            remat = "0"
+        if remat != "0":
+            policy = {
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+            }.get(remat)
+            scan_body_used = jax.checkpoint(scan_body, policy=policy)
+        else:
+            scan_body_used = scan_body
         scanned_fields = jax.tree_util.tree_map(
             lambda a: jnp.moveaxis(a, 1, 0), trace_fields
         )  # [T, B]
@@ -581,7 +600,7 @@ class VideoNMN:
         else:
             aux_scanned = jnp.moveaxis(aux_vec.astype(dt), 1, 0)
         (rv, rf, ra), _ = jax.lax.scan(
-            scan_body, (rv0, rf0, ra0),
+            scan_body_used, (rv0, rf0, ra0),
             ((scanned_fields, jnp.arange(T), aux_scanned)),
         )
         if dt != jnp.float32:
