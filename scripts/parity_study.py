@@ -338,7 +338,7 @@ def _load_preds(path):
 def report(args):
     with open(os.path.join(args.root, "labels.json")) as f:
         labels = json.load(f)
-    ours_path = os.path.join(args.root, "ours", "test_preds.json")
+    ours_path = os.path.join(args.root, args.ours_run, "test_preds.json")
     ref_path = os.path.join(args.root, "reference", "test_preds.json")
     ours_preds = _load_preds(ours_path)
     ref_preds = _load_preds(ref_path) if os.path.exists(ref_path) else None
@@ -356,7 +356,7 @@ def report(args):
     # alongside the primary run.
     variants = []
     for d in sorted(os.listdir(args.root)):
-        if d in ("ours", "reference"):
+        if d in (args.ours_run, "reference"):
             continue
         vp = os.path.join(args.root, d, "test_preds.json")
         if os.path.exists(vp):

@@ -585,11 +585,19 @@ class VideoNMN:
         remat = _os.environ.get("STAIR_REMAT", "dots")
         if deterministic:
             remat = "0"
+        if remat not in ("0", "full", "dots"):
+            raise ValueError(
+                f"STAIR_REMAT={remat!r}: expected one of 0, full, dots"
+            )
         if remat != "0":
             policy = {
                 "dots": jax.checkpoint_policies.checkpoint_dots,
             }.get(remat)
-            scan_body_used = jax.checkpoint(scan_body, policy=policy)
+            # prevent_cse=False: lax.scan already rules out the CSE that
+            # flag guards against (per jax.checkpoint docs).
+            scan_body_used = jax.checkpoint(
+                scan_body, policy=policy, prevent_cse=False
+            )
         else:
             scan_body_used = scan_body
         scanned_fields = jax.tree_util.tree_map(

@@ -127,6 +127,11 @@ class HashEmbeddings:
         return np.stack(rows) if rows else np.zeros((0, self.dim), np.float32)
 
 
+#: The arena whose ids currently populate the process-global C++ vocab
+#: (stair_tokenize_ids); any other arena must reset + reseed before use.
+_native_vocab_owner = None
+
+
 class EmbeddingArena:
     """Word-embedding table as one contiguous block + native row gather —
     the production shape of per-question GloVe lookup (tokenize -> ids ->
@@ -166,15 +171,23 @@ class EmbeddingArena:
         from stair_tpu.runtime.loader import _pack_strings, native_lib
 
         lib = native_lib()
-        if lib is None:
+        if lib is None or not all(q.isascii() for q in questions):
+            # No native library, or non-ASCII text: the C++ tokenizer is
+            # byte-wise (ASCII lower/isspace) while Python str.lower() /
+            # str.split() are Unicode — route such batches to Python.
             return np.stack(
                 [self.token_ids(q, max_len) for q in questions]
             ).astype(np.int32)
-        if lib.stair_vocab_size() != self._native_synced:
-            # Another arena (or a stale process state) owns the global
-            # vocab: rebuild it from scratch to this arena's ids.
+        global _native_vocab_owner
+        if (_native_vocab_owner is not self
+                or lib.stair_vocab_size() != self._native_synced):
+            # Another arena (or stale process state) owns the global C++
+            # vocab: rebuild it from scratch to this arena's ids. Size
+            # alone is not enough — two arenas can have equal-sized but
+            # different vocabularies.
             lib.stair_vocab_reset()
             self._native_synced = 0
+            _native_vocab_owner = self
         if self._native_synced < len(self._rows):
             words = [None] * len(self.word2id)
             for w, i in self.word2id.items():
