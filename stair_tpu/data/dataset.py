@@ -93,11 +93,48 @@ class WordEmbeddings:
         return out
 
     def embed_sentence(self, sent) -> np.ndarray:
+        return self.embed_words(self._words(sent))
+
+    def _words(self, sent) -> list[str]:
         if isinstance(sent, str):
-            words = [w.lower() for w in tokenize(sent)]
-        else:
-            words = [w.lower() for w in sent]
-        return self.embed_words(words)
+            return [w.lower() for w in tokenize(sent)]
+        return [w.lower() for w in sent]
+
+    # -- device-table mode ---------------------------------------------------
+    # For hosts with a slow device link, batches can ship [B, L] int32 token
+    # ids instead of [B, L, dim] f32 embeddings; the embedding table (GloVe
+    # matrix + minted OOV rows, bit-identical to embed_words) lives on
+    # device and the gather happens inside the jitted step.
+
+    def sentence_ids(self, sent) -> np.ndarray:
+        """Token ids into :meth:`embedding_table` (OOV rows minted)."""
+        self._ensure_matrix()
+        if getattr(self, "_ext_index", None) is None:
+            self._ext_index: dict[str, int] = {}
+            self._ext_rows: list[np.ndarray] = []
+        base = self._matrix.shape[0]
+        out = []
+        for w in self._words(sent):
+            i = self._index.get(w)
+            if i is None:
+                i = self._ext_index.get(w)
+                if i is None:
+                    i = base + len(self._ext_rows)
+                    self._ext_index[w] = i
+                    self._ext_rows.append(self._oov(w))
+            out.append(i)
+        return np.asarray(out, np.int32)
+
+    def embedding_table(self) -> np.ndarray:
+        """[V + OOV, dim] f32: row ``sentence_ids(s)[i]`` equals
+        ``embed_sentence(s)[i]`` exactly."""
+        self._ensure_matrix()
+        ext = getattr(self, "_ext_rows", None) or []
+        if not ext:
+            return self._matrix
+        return np.concatenate(
+            [self._matrix, np.stack(ext).astype(np.float32)]
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +372,19 @@ class AGQADataset:
 
     def question_embedding(self, rec) -> np.ndarray:
         return self.embeddings.embed_sentence(rec["question"])
+
+    def device_video_table(self):
+        """Cached padded export of the feature arena for device residency:
+        (table [n, F, D] f32, lengths [n] int32, video_id -> row)."""
+        if getattr(self, "_device_video_table", None) is None:
+            self._device_video_table = self.feature_arena.padded_table(
+                self.max_video_length
+            )
+        return self._device_video_table
+
+    @property
+    def feature_arena_index(self) -> dict:
+        return self.device_video_table()[2]
 
     def video_feature(self, rec) -> np.ndarray:
         return self.video_feats[rec["video_id"]]
@@ -608,6 +658,11 @@ class Batch:
     # --use-prog-word-embeddings: program-token text for spanless args
     aux_emb: np.ndarray = None    # [B, T, La, text]
     aux_mask: np.ndarray = None   # [B, T, La]
+    # device-table mode: indices into device-resident tables; when set,
+    # question/question_mask/video/video_mask above are None and the step
+    # function materializes them on device (train/loop.py).
+    video_idx: np.ndarray = None      # [B] int32 rows of the video table
+    question_ids: np.ndarray = None   # [B, L] int32 (-1 pad) embed rows
 
 
 class Batcher:
@@ -628,9 +683,11 @@ class Batcher:
         max_filterframe: int = 4,
         seed: int = 0,
         drop_remainder: bool = False,
+        device_tables: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
+        self.device_tables = device_tables
         self.geom = (max_steps, num_vec, num_frames, num_attn)
         self.max_question_len = max_question_len
         self.max_positives = max_positives
@@ -666,30 +723,45 @@ class Batcher:
         F = ds.max_video_length
         text_dim = ds.embeddings.dim
 
-        question = np.zeros((B, L, text_dim), dtype=np.float32)
-        question_mask = np.zeros((B, L), dtype=np.float32)
-        video_dim = ds.video_size
-        video = np.zeros((B, F, video_dim), dtype=np.float32)
-        video_mask = np.zeros((B, F), dtype=np.float32)
         answer = np.zeros((B,), dtype=np.int32)
 
         traces = []
         recs = []
         arena = getattr(ds, "feature_arena", None)
         use_arena = arena is not None and type(ds).video_feature is AGQADataset.video_feature
+        dev = self.device_tables and use_arena
+        question = question_mask = video = video_mask = None
+        video_idx = question_ids = None
+        if dev:
+            # Device-table mode: ship int32 indices; the step materializes
+            # features/embeddings from device-resident tables.
+            video_idx = np.zeros((B,), np.int32)
+            question_ids = np.full((B, L), -1, np.int32)
+            vindex = self.ds.feature_arena_index
+        else:
+            question = np.zeros((B, L, text_dim), dtype=np.float32)
+            question_mask = np.zeros((B, L), dtype=np.float32)
+            video_dim = ds.video_size
+            video = np.zeros((B, F, video_dim), dtype=np.float32)
+            video_mask = np.zeros((B, F), dtype=np.float32)
         for b, idx in enumerate(indices):
             rec = ds.records[idx]
             recs.append(rec)
             traces.append(ds.traces[idx])
-            q = ds.question_embedding(rec)[:L]
-            question[b, : len(q)] = q
-            question_mask[b, : len(q)] = 1.0
-            if not use_arena:
-                v = ds.video_feature(rec)[:F]
-                video[b, : len(v)] = v
-                video_mask[b, : len(v)] = 1.0
+            if dev:
+                ids = ds.embeddings.sentence_ids(rec["question"])[:L]
+                question_ids[b, : len(ids)] = ids
+                video_idx[b] = vindex[rec["video_id"]]
+            else:
+                q = ds.question_embedding(rec)[:L]
+                question[b, : len(q)] = q
+                question_mask[b, : len(q)] = 1.0
+                if not use_arena:
+                    v = ds.video_feature(rec)[:F]
+                    video[b, : len(v)] = v
+                    video_mask[b, : len(v)] = 1.0
             answer[b] = ds.answer_id(rec)
-        if use_arena:
+        if use_arena and not dev:
             video, video_mask = arena.gather(
                 [r["video_id"] for r in recs], F
             )
@@ -752,6 +824,7 @@ class Batcher:
             ),
             ff_valid=np.zeros((self.max_filterframe,), np.float32),
             aux_emb=aux_emb, aux_mask=aux_mask,
+            video_idx=video_idx, question_ids=question_ids,
         )
         self._pack_supervision(batch, recs, traces)
         return batch
@@ -785,7 +858,14 @@ class Batcher:
             sg = rec.get("sg_res_by_step") or {}
             if not sg:
                 continue
-            video_len = int(batch.video_mask[b].sum())
+            if batch.video_mask is not None:
+                video_len = int(batch.video_mask[b].sum())
+            else:
+                # device-table mode: the mask materializes on device; the
+                # true length comes from the arena.
+                video_len = min(
+                    ds.feature_arena.lengths[rec["video_id"]], F
+                )
             src_len = ds.video_secs.get(rec["video_id"], 0) * 3
 
             def rescale(iv):

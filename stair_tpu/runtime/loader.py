@@ -99,6 +99,24 @@ class FeatureArena:
             o = self.offsets[vid]
             self.arena[o:o + len(arr)] = arr
 
+    def padded_table(self, max_rows: int):
+        """Export as a device-uploadable padded table.
+
+        -> (table [n_videos, max_rows, D] f32, lengths [n_videos] int32,
+        video_id -> row index). For slow device links the training loop
+        uploads this once and batches ship only [B] int32 row indices.
+        """
+        ids = list(self.offsets)
+        index = {vid: i for i, vid in enumerate(ids)}
+        table = np.zeros((len(ids), max_rows, self.dim), np.float32)
+        lens = np.zeros((len(ids),), np.int32)
+        for i, vid in enumerate(ids):
+            n = min(self.lengths[vid], max_rows)
+            o = self.offsets[vid]
+            table[i, :n] = self.arena[o:o + n]
+            lens[i] = n
+        return table, lens, index
+
     def gather(self, video_ids: list[str], max_rows: int):
         """-> (feats [B, F, D], mask [B, F])."""
         B = len(video_ids)

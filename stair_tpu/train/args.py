@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-tp", type=int, default=1,
                    help="tensor-parallel mesh size")
     p.add_argument("--max-question-len", type=int, default=32)
+    p.add_argument("--device-tables", default="auto",
+                   choices=["auto", "off"],
+                   help="keep video features + word embeddings resident on "
+                        "device and ship int32 indices per batch (auto: on "
+                        "whenever the dataset has a feature arena)")
     return p
 
 

@@ -60,7 +60,14 @@ def load_model(args, ds):
 def evaluate_acc(args, model, params, ds):
     unk = ds.answer_vocab["word2id"].get("<UNK>", -1)
     id2w = ds.answer_vocab["id2word"]
-    batcher = make_batcher(args, ds, model)
+    tables = None
+    if getattr(args, "device_tables", "auto") != "off":
+        from stair_tpu.train.loop import make_device_tables
+
+        tables = make_device_tables(ds)
+    batcher = make_batcher(
+        args, ds, model, device_tables=tables is not None
+    )
     evaluable = len(batcher.indices)
     print(f"evaluable examples: {evaluable}/{len(ds)}"
           + (f" (unliftable programs: {ds.drop_reasons})"
@@ -77,6 +84,9 @@ def evaluate_acc(args, model, params, ds):
 
     @jax.jit
     def step(params, batch):
+        from stair_tpu.train.loop import materialize_batch
+
+        batch = materialize_batch(batch, tables)
         out = model.forward(params, batch, deterministic=True)
         if batch.get("cand_emb") is not None:
             from stair_tpu.models.nmn import choice_logits
@@ -96,11 +106,16 @@ def evaluate_acc(args, model, params, ds):
 
     correct = total = 0
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
-    for i, batch in enumerate(batcher.epoch(shuffle=False)):
+    from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.train.loop import _device_batches
+
+    for i, (batch, bdict) in enumerate(PrefetchIterator(
+        _device_batches(batcher, None, shuffle=False)
+    )):
         if i % 50 == 0:
             print(datetime.datetime.now().strftime("%H:%M:%S"),
                   f"batch {i}, {total} examples")
-        preds = np.asarray(step(params, batch_to_device_dict(batch)))
+        preds = np.asarray(step(params, bdict))
         real = batch.meta["real"]
         golds = batch.answer[:real]
         correct += int(np.sum((preds[:real] == golds) & (golds != unk)))
@@ -147,16 +162,31 @@ def filter_text_results(args, model, params, ds):
         axis=-1,
     )  # [V, H]
 
-    batcher = make_batcher(args, ds, model)
+    tables = None
+    if getattr(args, "device_tables", "auto") != "off":
+        from stair_tpu.train.loop import make_device_tables
+
+        tables = make_device_tables(ds)
+    batcher = make_batcher(
+        args, ds, model, device_tables=tables is not None
+    )
 
     @jax.jit
     def step(params, batch):
+        from stair_tpu.train.loop import materialize_batch
+
+        batch = materialize_batch(batch, tables)
         out = model.forward(params, batch, deterministic=True)
         return out["regs_vec"]
 
     results = {}
-    for batch in batcher.epoch(shuffle=False):
-        regs_vec = np.asarray(step(params, batch_to_device_dict(batch)))
+    from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.train.loop import _device_batches
+
+    for batch, bdict in PrefetchIterator(
+        _device_batches(batcher, None, shuffle=False)
+    ):
+        regs_vec = np.asarray(step(params, bdict))
         vocab_np = np.asarray(vocab_reps)
         for b in range(batch.meta["real"]):
             idx = batch.meta["indices"][b]

@@ -86,12 +86,74 @@ def batch_to_device_dict(batch) -> dict:
     return d
 
 
-def _base_device_dict(batch) -> dict:
+def _device_batches(batcher, mesh, shuffle):
+    """Yield (batch, device bdict) with the H2D transfer already started.
+
+    ``jax.device_put`` is asynchronous, so issuing it here (inside the
+    prefetch worker thread) overlaps each batch's transfer with the
+    previous batch's device step."""
+    import jax
+
+    for batch in batcher.epoch(shuffle=shuffle):
+        bdict = batch_to_device_dict(batch)
+        if mesh is not None:
+            bdict = shard_batch(bdict, mesh)
+        else:
+            bdict = jax.device_put(bdict)
+        yield batch, bdict
+
+
+def make_device_tables(ds, mesh=None) -> dict | None:
+    """Upload the dataset's video features + word embeddings once.
+
+    On hosts with a slow device link the per-batch H2D of [B, F, D] video
+    features and [B, L, dim] question embeddings dominates the train step;
+    with the tables resident, batches ship only int32 indices and the step
+    function gathers on device (``materialize_batch``). Returns None when
+    the dataset has no feature arena (custom video_feature overrides).
+    """
+    arena = getattr(ds, "feature_arena", None)
+    if arena is None or type(ds).video_feature is not AGQADataset.video_feature:
+        return None
+    table, lens, _ = ds.device_video_table()
+    # Mint every OOV row up front so the uploaded table is final.
+    for rec in ds.records:
+        ds.embeddings.sentence_ids(rec["question"])
+    emb = ds.embeddings.embedding_table()
+    put = (
+        (lambda x: jax.device_put(x, replicated(mesh)))
+        if mesh is not None else jax.device_put
+    )
     return {
-        "question": batch.question,
-        "question_mask": batch.question_mask,
-        "video": batch.video,
-        "video_mask": batch.video_mask,
+        "video_table": put(table),
+        "video_len": put(lens),
+        "embed_table": put(emb.astype(np.float32)),
+    }
+
+
+def materialize_batch(batch: dict, tables: dict | None) -> dict:
+    """Inside-jit: reconstruct question/video tensors from device tables."""
+    if tables is None or batch.get("video_idx") is None:
+        return batch
+    vid = batch["video_idx"]
+    video = tables["video_table"][vid]
+    F = video.shape[1]
+    vmask = (
+        jnp.arange(F)[None, :] < tables["video_len"][vid][:, None]
+    ).astype(jnp.float32)
+    ids = batch["question_ids"]
+    q = jnp.where(
+        ids[:, :, None] >= 0, tables["embed_table"][jnp.clip(ids, 0)], 0.0
+    )
+    qmask = (ids >= 0).astype(jnp.float32)
+    return dict(
+        batch, video=video, video_mask=vmask,
+        question=q, question_mask=qmask,
+    )
+
+
+def _base_device_dict(batch) -> dict:
+    d = {
         "answer": batch.answer,
         "trace": batch.trace,
         "root_reg": batch.root_reg,
@@ -108,6 +170,15 @@ def _base_device_dict(batch) -> dict:
         "ff_gold": batch.ff_gold,
         "ff_valid": batch.ff_valid,
     }
+    if batch.question_ids is not None:
+        d["question_ids"] = batch.question_ids
+        d["video_idx"] = batch.video_idx
+    else:
+        d["question"] = batch.question
+        d["question_mask"] = batch.question_mask
+        d["video"] = batch.video
+        d["video_mask"] = batch.video_mask
+    return d
 
 
 def build_model(args, datasets) -> tuple[VideoNMN, dict]:
@@ -134,7 +205,7 @@ def build_model(args, datasets) -> tuple[VideoNMN, dict]:
     return VideoNMN(cfg), cfg.to_dict()
 
 
-def make_batcher(args, ds, model, seed=0):
+def make_batcher(args, ds, model, seed=0, device_tables=False):
     cfg = model.config
     return Batcher(
         ds,
@@ -145,6 +216,7 @@ def make_batcher(args, ds, model, seed=0):
         num_attn=cfg.num_attn,
         max_question_len=args.max_question_len,
         seed=seed,
+        device_tables=device_tables,
     )
 
 
@@ -161,9 +233,11 @@ def lr_schedule(args):
     return schedule
 
 
-def make_train_step(model, optimizer, args):
+def make_train_step(model, optimizer, args, tables=None):
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng, module_gate, decoder_gate):
+        batch = materialize_batch(batch, tables)
+
         def loss_fn(p):
             return total_loss(
                 model, p, batch, rng,
@@ -192,9 +266,10 @@ def make_train_step(model, optimizer, args):
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, tables=None):
     @jax.jit
     def eval_step(params, batch):
+        batch = materialize_batch(batch, tables)
         out = model.forward(params, batch, deterministic=True)
         scalars, telemetry = supervision_losses(model, params, out, batch)
         cos_sum, cos_count = eval_contrastive_similarity(
@@ -230,10 +305,11 @@ def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
     counts = np.zeros((len(FAMILIES),))
     cos_sum = cos_count = 0.0
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
-    for batch in batcher.epoch(shuffle=False):
-        bdict = batch_to_device_dict(batch)
-        if mesh is not None:
-            bdict = shard_batch(bdict, mesh)
+    from stair_tpu.runtime.loader import PrefetchIterator
+
+    for batch, bdict in PrefetchIterator(
+        _device_batches(batcher, mesh, shuffle=False)
+    ):
         res = jax.device_get(eval_step(params, bdict))
         real = batch.meta["real"]
         preds = res["preds"][:real]
@@ -345,10 +421,23 @@ def main(args=None):
         # Replication is exact here: only the small decoder head is sharded.
         opt_state = jax.device_put(opt_state, replicated(mesh))
 
-    train_step = make_train_step(model, optimizer, args)
-    eval_step = make_eval_step(model)
-    train_batcher = make_batcher(args, train_ds, model, seed=args.rand_seed)
-    valid_batcher = make_batcher(args, valid_ds, model, seed=0)
+    train_tables = valid_tables = None
+    if args.device_tables != "off":
+        train_tables = make_device_tables(train_ds, mesh)
+        valid_tables = make_device_tables(valid_ds, mesh)
+        if train_tables is not None:
+            print("device tables: video features + embeddings resident "
+                  "(batches ship int32 indices)")
+    train_step = make_train_step(model, optimizer, args, train_tables)
+    eval_step = make_eval_step(model, valid_tables)
+    train_batcher = make_batcher(
+        args, train_ds, model, seed=args.rand_seed,
+        device_tables=train_tables is not None,
+    )
+    valid_batcher = make_batcher(
+        args, valid_ds, model, seed=0,
+        device_tables=valid_tables is not None,
+    )
 
     writer = MetricsWriter(args.output)
     from stair_tpu.utils.snapshot import backup_code
@@ -386,10 +475,12 @@ def main(args=None):
     t_start = time.time()
     window = []
     for epoch in range(args.num_epochs):
-        for batch in PrefetchIterator(train_batcher.epoch(shuffle=True)):
-            bdict = batch_to_device_dict(batch)
-            if mesh is not None:
-                bdict = shard_batch(bdict, mesh)
+        # The prefetch worker packs AND starts the (async) H2D transfer,
+        # so batch N+1 crosses the wire while batch N computes — on hosts
+        # where the device link is slow this is the training bottleneck.
+        for _batch, bdict in PrefetchIterator(
+            _device_batches(train_batcher, mesh, shuffle=True)
+        ):
             rng, step_rng = jax.random.split(rng)
             module_gate = jnp.float32(
                 global_step < args.train_module_before_iters

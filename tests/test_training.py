@@ -200,3 +200,51 @@ def test_checkpoint_roundtrip(train_world, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     cfg = ckpt.load_config(str(tmp_path / "best_model"))
     assert cfg["hidden_size"] == 32
+
+
+def test_device_tables_bit_parity(train_world):
+    """Device-resident tables (video features + embeddings gathered inside
+    the jitted step from int32 indices) must reproduce the host-packed
+    batch exactly: same logits, same masks."""
+    from stair_tpu.train.loop import (
+        make_device_tables,
+        make_eval_step,
+        materialize_batch,
+    )
+
+    ds = train_world
+    args = Args()
+    model, _ = build_model(args, [ds])
+    params = model.init(jax.random.PRNGKey(0))
+
+    host_b = make_batcher(args, ds, model, seed=0)
+    dev_b = make_batcher(args, ds, model, seed=0, device_tables=True)
+    tables = make_device_tables(ds)
+    assert tables is not None
+
+    host_batch = batch_to_device_dict(next(host_b.epoch(shuffle=False)))
+    dev_batch = batch_to_device_dict(next(dev_b.epoch(shuffle=False)))
+    assert "question_ids" in dev_batch and "video_idx" in dev_batch
+
+    mat = jax.jit(lambda b: materialize_batch(b, tables))(dev_batch)
+    np.testing.assert_array_equal(
+        np.asarray(mat["video"]), host_batch["video"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["video_mask"]), host_batch["video_mask"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["question"]), host_batch["question"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["question_mask"]), host_batch["question_mask"]
+    )
+
+    host_step = make_eval_step(model)
+    dev_step = make_eval_step(model, tables)
+    host_out = jax.device_get(host_step(params, host_batch))
+    dev_out = jax.device_get(dev_step(params, dev_batch))
+    np.testing.assert_array_equal(host_out["preds"], dev_out["preds"])
+    np.testing.assert_allclose(
+        host_out["loss_sums"], dev_out["loss_sums"], rtol=1e-6
+    )
