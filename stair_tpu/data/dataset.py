@@ -373,6 +373,18 @@ class AGQADataset:
     def question_embedding(self, rec) -> np.ndarray:
         return self.embeddings.embed_sentence(rec["question"])
 
+    def question_token_ids(self, idx: int) -> np.ndarray:
+        """Cached ``embeddings.sentence_ids`` for record ``idx`` (questions
+        are static; re-tokenizing every epoch cost ~6 ms/batch)."""
+        cache = getattr(self, "_q_ids_cache", None)
+        if cache is None:
+            cache = self._q_ids_cache = {}
+        ids = cache.get(idx)
+        if ids is None:
+            ids = self.embeddings.sentence_ids(self.records[idx]["question"])
+            cache[idx] = ids
+        return ids
+
     def device_video_table(self):
         """Cached padded export of the feature arena for device residency:
         (table [n, F, D] f32, lengths [n] int32, video_id -> row)."""
@@ -749,7 +761,7 @@ class Batcher:
             recs.append(rec)
             traces.append(ds.traces[idx])
             if dev:
-                ids = ds.embeddings.sentence_ids(rec["question"])[:L]
+                ids = ds.question_token_ids(idx)[:L]
                 question_ids[b, : len(ids)] = ids
                 video_idx[b] = vindex[rec["video_id"]]
             else:

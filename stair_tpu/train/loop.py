@@ -116,9 +116,10 @@ def make_device_tables(ds, mesh=None) -> dict | None:
     if arena is None or type(ds).video_feature is not AGQADataset.video_feature:
         return None
     table, lens, _ = ds.device_video_table()
-    # Mint every OOV row up front so the uploaded table is final.
-    for rec in ds.records:
-        ds.embeddings.sentence_ids(rec["question"])
+    # Mint every OOV row up front so the uploaded table is final (and warm
+    # the per-record id cache the batcher reads).
+    for i in range(len(ds.records)):
+        ds.question_token_ids(i)
     emb = ds.embeddings.embedding_table()
     put = (
         (lambda x: jax.device_put(x, replicated(mesh)))
