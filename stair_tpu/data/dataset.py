@@ -479,6 +479,9 @@ class STARDataset(AGQADataset):
             paths.rgb_path, paths.flow_path, used, max_video_length, None
         )
         self.video_size = next(iter(self.video_feats.values())).shape[-1]
+        from stair_tpu.runtime.loader import FeatureArena
+
+        self.feature_arena = FeatureArena(self.video_feats)
         self.traces = []
         self.drop_reasons = {}
         for rec in self.records:
@@ -499,14 +502,33 @@ class STARDataset(AGQADataset):
         """Clip by the question's [start, end] seconds when given
         (ref dataset.py:330-337)."""
         feats = self.video_feats[rec["video_id"]]
+        lo, hi = self.video_clip(rec)
+        return feats[lo:hi]
+
+    def video_clip(self, rec) -> tuple[int, int]:
+        """[lo, hi) frame range of the question's clip in the raw video."""
+        n = len(self.video_feats[rec["video_id"]])
         start, end = rec.get("start"), rec.get("end")
         if start is None or end is None:
-            return feats
+            return 0, n
         secs = self.video_secs.get(rec["video_id"], 0) or 1
-        n = len(feats)
         lo = int(start / secs * n)
         hi = max(lo + 1, int(end / secs * n))
-        return feats[lo:hi]
+        return lo, hi
+
+    def candidate_token_ids(self, idx: int) -> list:
+        """Cached per-record candidate token ids (device-table mode)."""
+        cache = getattr(self, "_cand_ids_cache", None)
+        if cache is None:
+            cache = self._cand_ids_cache = {}
+        ids = cache.get(idx)
+        if ids is None:
+            ids = [
+                self.embeddings.sentence_ids(text)
+                for text in self.candidates(self.records[idx])
+            ]
+            cache[idx] = ids
+        return ids
 
     def answer_id(self, rec):
         return rec.get("answer_id", 0)
@@ -674,7 +696,9 @@ class Batch:
     # question/question_mask/video/video_mask above are None and the step
     # function materializes them on device (train/loop.py).
     video_idx: np.ndarray = None      # [B] int32 rows of the video table
+    video_clip: np.ndarray = None     # [B, 2] int32 [lo, hi) frame range
     question_ids: np.ndarray = None   # [B, L] int32 (-1 pad) embed rows
+    cand_ids: np.ndarray = None       # [B, C, Lc] int32 (-1 pad) embed rows
 
 
 class Batcher:
@@ -741,13 +765,15 @@ class Batcher:
         recs = []
         arena = getattr(ds, "feature_arena", None)
         use_arena = arena is not None and type(ds).video_feature is AGQADataset.video_feature
-        dev = self.device_tables and use_arena
+        clip_mode = arena is not None and hasattr(ds, "video_clip")
+        dev = self.device_tables and (use_arena or clip_mode)
         question = question_mask = video = video_mask = None
-        video_idx = question_ids = None
+        video_idx = video_clip = question_ids = None
         if dev:
             # Device-table mode: ship int32 indices; the step materializes
             # features/embeddings from device-resident tables.
             video_idx = np.zeros((B,), np.int32)
+            video_clip = np.zeros((B, 2), np.int32)
             question_ids = np.full((B, L), -1, np.int32)
             vindex = self.ds.feature_arena_index
         else:
@@ -764,6 +790,11 @@ class Batcher:
                 ids = ds.question_token_ids(idx)[:L]
                 question_ids[b, : len(ids)] = ids
                 video_idx[b] = vindex[rec["video_id"]]
+                if clip_mode:
+                    lo, hi = ds.video_clip(rec)
+                else:
+                    lo, hi = 0, arena.lengths[rec["video_id"]]
+                video_clip[b] = (lo, min(hi, lo + F))
             else:
                 q = ds.question_embedding(rec)[:L]
                 question[b, : len(q)] = q
@@ -792,18 +823,26 @@ class Batcher:
                         e = ds.embeddings.embed_sentence(text)[:La]
                         aux_emb[b, t, : len(e)] = e
                         aux_mask[b, t, : len(e)] = 1.0
-        cand_emb = cand_mask = cand_valid = None
+        cand_emb = cand_mask = cand_valid = cand_ids = None
         if hasattr(ds, "candidates"):
             C, Lc = ds.num_candidates, self.max_class_len
-            cand_emb = np.zeros((B, C, Lc, text_dim), np.float32)
-            cand_mask = np.zeros((B, C, Lc), np.float32)
             cand_valid = np.zeros((B, C), np.float32)
-            for b, rec in enumerate(recs):
-                for c, text in enumerate(ds.candidates(rec)):
-                    e = ds.embeddings.embed_sentence(text)[:Lc]
-                    cand_emb[b, c, : len(e)] = e
-                    cand_mask[b, c, : len(e)] = 1.0
-                    cand_valid[b, c] = 1.0
+            if dev:
+                cand_ids = np.full((B, C, Lc), -1, np.int32)
+                for b, bidx in enumerate(indices):
+                    for c, ids in enumerate(ds.candidate_token_ids(bidx)):
+                        ids = ids[:Lc]
+                        cand_ids[b, c, : len(ids)] = ids
+                        cand_valid[b, c] = 1.0
+            else:
+                cand_emb = np.zeros((B, C, Lc, text_dim), np.float32)
+                cand_mask = np.zeros((B, C, Lc), np.float32)
+                for b, rec in enumerate(recs):
+                    for c, text in enumerate(ds.candidates(rec)):
+                        e = ds.embeddings.embed_sentence(text)[:Lc]
+                        cand_emb[b, c, : len(e)] = e
+                        cand_mask[b, c, : len(e)] = 1.0
+                        cand_valid[b, c] = 1.0
         batch = Batch(
             question=question,
             question_mask=question_mask,
@@ -836,7 +875,8 @@ class Batcher:
             ),
             ff_valid=np.zeros((self.max_filterframe,), np.float32),
             aux_emb=aux_emb, aux_mask=aux_mask,
-            video_idx=video_idx, question_ids=question_ids,
+            video_idx=video_idx, video_clip=video_clip,
+            question_ids=question_ids, cand_ids=cand_ids,
         )
         self._pack_supervision(batch, recs, traces)
         return batch
@@ -872,6 +912,9 @@ class Batcher:
                 continue
             if batch.video_mask is not None:
                 video_len = int(batch.video_mask[b].sum())
+            elif hasattr(ds, "video_clip"):
+                lo, hi = ds.video_clip(rec)
+                video_len = min(hi - lo, F)
             else:
                 # device-table mode: the mask materializes on device; the
                 # true length comes from the arena.

@@ -113,13 +113,18 @@ def make_device_tables(ds, mesh=None) -> dict | None:
     the dataset has no feature arena (custom video_feature overrides).
     """
     arena = getattr(ds, "feature_arena", None)
-    if arena is None or type(ds).video_feature is not AGQADataset.video_feature:
+    if arena is None or not (
+        type(ds).video_feature is AGQADataset.video_feature
+        or hasattr(ds, "video_clip")  # STAR-style per-question clips
+    ):
         return None
     table, lens, _ = ds.device_video_table()
     # Mint every OOV row up front so the uploaded table is final (and warm
-    # the per-record id cache the batcher reads).
+    # the per-record id caches the batcher reads).
     for i in range(len(ds.records)):
         ds.question_token_ids(i)
+        if hasattr(ds, "candidate_token_ids"):
+            ds.candidate_token_ids(i)
     emb = ds.embeddings.embedding_table()
     put = (
         (lambda x: jax.device_put(x, replicated(mesh)))
@@ -137,20 +142,34 @@ def materialize_batch(batch: dict, tables: dict | None) -> dict:
     if tables is None or batch.get("video_idx") is None:
         return batch
     vid = batch["video_idx"]
-    video = tables["video_table"][vid]
-    F = video.shape[1]
-    vmask = (
-        jnp.arange(F)[None, :] < tables["video_len"][vid][:, None]
-    ).astype(jnp.float32)
+    frames = tables["video_table"][vid]
+    F = frames.shape[1]
+    # Per-question frame range [lo, hi): plain datasets ship (0, length),
+    # STAR ships the question's clip — both reduce to a shifted gather.
+    lo = batch["video_clip"][:, 0]
+    hi = batch["video_clip"][:, 1]
+    pos = jnp.arange(F)[None, :]
+    idx = jnp.minimum(lo[:, None] + pos, F - 1)
+    video = jnp.take_along_axis(frames, idx[:, :, None], axis=1)
+    vmask = (pos < (hi - lo)[:, None]).astype(jnp.float32)
+    video = video * vmask[:, :, None]
     ids = batch["question_ids"]
     q = jnp.where(
         ids[:, :, None] >= 0, tables["embed_table"][jnp.clip(ids, 0)], 0.0
     )
     qmask = (ids >= 0).astype(jnp.float32)
-    return dict(
+    out = dict(
         batch, video=video, video_mask=vmask,
         question=q, question_mask=qmask,
     )
+    if batch.get("cand_ids") is not None:
+        cids = batch["cand_ids"]
+        out["cand_emb"] = jnp.where(
+            cids[..., None] >= 0,
+            tables["embed_table"][jnp.clip(cids, 0)], 0.0,
+        )
+        out["cand_mask"] = (cids >= 0).astype(jnp.float32)
+    return out
 
 
 def _base_device_dict(batch) -> dict:
@@ -174,6 +193,10 @@ def _base_device_dict(batch) -> dict:
     if batch.question_ids is not None:
         d["question_ids"] = batch.question_ids
         d["video_idx"] = batch.video_idx
+        d["video_clip"] = batch.video_clip
+        if batch.cand_ids is not None:
+            d["cand_ids"] = batch.cand_ids
+            d["cand_valid"] = batch.cand_valid
     else:
         d["question"] = batch.question
         d["question_mask"] = batch.question_mask

@@ -270,3 +270,42 @@ def test_star_evaluate_acc_uses_choice_head(star_world, tmp_path):
     assert "Interaction" in payload and payload["Interaction"]
     for row in payload["Interaction"]:
         assert row["answer"].startswith("answer ")
+
+
+def test_star_device_tables_bit_parity(star_world):
+    """STAR device-table mode (clip-aware video gather + candidate ids)
+    must reproduce the host-packed batch exactly."""
+    jax = pytest.importorskip("jax")
+    from stair_tpu.train.loop import make_device_tables, materialize_batch
+
+    ds = STARDataset(star_world, "train", max_video_length=24)
+    T, NV, NF, NA = ds.trace_geometry()
+    kw = dict(batch_size=4, max_steps=T, num_vec=NV, num_frames=NF,
+              num_attn=NA)
+    host = next(Batcher(ds, **kw).epoch(shuffle=False))
+    dev = next(Batcher(ds, device_tables=True, **kw).epoch(shuffle=False))
+    tables = make_device_tables(ds)
+    assert tables is not None
+    assert dev.cand_ids is not None and dev.video_clip is not None
+
+    from stair_tpu.train.loop import batch_to_device_dict
+
+    mat = jax.jit(
+        lambda b: materialize_batch(b, tables)
+    )(batch_to_device_dict(dev))
+    np.testing.assert_array_equal(np.asarray(mat["video"]), host.video)
+    np.testing.assert_array_equal(
+        np.asarray(mat["video_mask"]), host.video_mask
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["question"]), host.question
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["cand_emb"]), host.cand_emb
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["cand_mask"]), host.cand_mask
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["cand_valid"]), host.cand_valid
+    )
