@@ -701,6 +701,19 @@ class Batch:
     cand_ids: np.ndarray = None       # [B, C, Lc] int32 (-1 pad) embed rows
 
 
+def device_table_support(ds) -> str | None:
+    """How a dataset can use device-resident tables: 'plain' (whole-video
+    rows), 'clip' (per-question [start, end] frame ranges, STAR-style), or
+    None (no feature arena / custom video_feature override)."""
+    if getattr(ds, "feature_arena", None) is None:
+        return None
+    if hasattr(ds, "video_clip"):
+        return "clip"
+    if type(ds).video_feature is AGQADataset.video_feature:
+        return "plain"
+    return None
+
+
 class Batcher:
     """Packs dataset examples into fixed-shape batches."""
 
@@ -765,8 +778,9 @@ class Batcher:
         recs = []
         arena = getattr(ds, "feature_arena", None)
         use_arena = arena is not None and type(ds).video_feature is AGQADataset.video_feature
-        clip_mode = arena is not None and hasattr(ds, "video_clip")
-        dev = self.device_tables and (use_arena or clip_mode)
+        support = device_table_support(ds)
+        clip_mode = support == "clip"
+        dev = self.device_tables and support is not None
         question = question_mask = video = video_mask = None
         video_idx = video_clip = question_ids = None
         if dev:
@@ -775,7 +789,7 @@ class Batcher:
             video_idx = np.zeros((B,), np.int32)
             video_clip = np.zeros((B, 2), np.int32)
             question_ids = np.full((B, L), -1, np.int32)
-            vindex = self.ds.feature_arena_index
+            vindex = ds.feature_arena_index
         else:
             question = np.zeros((B, L, text_dim), dtype=np.float32)
             question_mask = np.zeros((B, L), dtype=np.float32)

@@ -57,17 +57,23 @@ def load_model(args, ds):
     return model, params
 
 
-def evaluate_acc(args, model, params, ds):
-    unk = ds.answer_vocab["word2id"].get("<UNK>", -1)
-    id2w = ds.answer_vocab["id2word"]
+def _tables_and_batcher(args, model, ds):
+    """Shared eval setup: device tables when enabled + a matching batcher."""
+    from stair_tpu.train.loop import make_device_tables
+
     tables = None
     if getattr(args, "device_tables", "auto") != "off":
-        from stair_tpu.train.loop import make_device_tables
-
         tables = make_device_tables(ds)
     batcher = make_batcher(
         args, ds, model, device_tables=tables is not None
     )
+    return tables, batcher
+
+
+def evaluate_acc(args, model, params, ds):
+    unk = ds.answer_vocab["word2id"].get("<UNK>", -1)
+    id2w = ds.answer_vocab["id2word"]
+    tables, batcher = _tables_and_batcher(args, model, ds)
     evaluable = len(batcher.indices)
     print(f"evaluable examples: {evaluable}/{len(ds)}"
           + (f" (unliftable programs: {ds.drop_reasons})"
@@ -82,10 +88,10 @@ def evaluate_acc(args, model, params, ds):
     # 0-wide when the answer vocab is empty); mirrors make_eval_step.
     multiple_choice = hasattr(ds, "candidates")
 
+    from stair_tpu.train.loop import materialize_batch
+
     @jax.jit
     def step(params, batch):
-        from stair_tpu.train.loop import materialize_batch
-
         batch = materialize_batch(batch, tables)
         out = model.forward(params, batch, deterministic=True)
         if batch.get("cand_emb") is not None:
@@ -162,19 +168,11 @@ def filter_text_results(args, model, params, ds):
         axis=-1,
     )  # [V, H]
 
-    tables = None
-    if getattr(args, "device_tables", "auto") != "off":
-        from stair_tpu.train.loop import make_device_tables
-
-        tables = make_device_tables(ds)
-    batcher = make_batcher(
-        args, ds, model, device_tables=tables is not None
-    )
+    tables, batcher = _tables_and_batcher(args, model, ds)
+    from stair_tpu.train.loop import materialize_batch
 
     @jax.jit
     def step(params, batch):
-        from stair_tpu.train.loop import materialize_batch
-
         batch = materialize_batch(batch, tables)
         out = model.forward(params, batch, deterministic=True)
         return out["regs_vec"]

@@ -92,8 +92,6 @@ def _device_batches(batcher, mesh, shuffle):
     ``jax.device_put`` is asynchronous, so issuing it here (inside the
     prefetch worker thread) overlaps each batch's transfer with the
     previous batch's device step."""
-    import jax
-
     for batch in batcher.epoch(shuffle=shuffle):
         bdict = batch_to_device_dict(batch)
         if mesh is not None:
@@ -112,11 +110,9 @@ def make_device_tables(ds, mesh=None) -> dict | None:
     function gathers on device (``materialize_batch``). Returns None when
     the dataset has no feature arena (custom video_feature overrides).
     """
-    arena = getattr(ds, "feature_arena", None)
-    if arena is None or not (
-        type(ds).video_feature is AGQADataset.video_feature
-        or hasattr(ds, "video_clip")  # STAR-style per-question clips
-    ):
+    from stair_tpu.data.dataset import device_table_support
+
+    if device_table_support(ds) is None:
         return None
     table, lens, _ = ds.device_video_table()
     # Mint every OOV row up front so the uploaded table is final (and warm
