@@ -140,6 +140,8 @@ def ours(args):
     extra = []
     if args.encoder != "lstm":
         extra += ["--encoder", args.encoder]
+    if args.filter_attention != "parity":
+        extra += ["--filter-attention", args.filter_attention]
     steps_per_epoch = max(1, args_count(args, "train") // args.batch_size)
     targs = get_args(_common_flags(args) + extra + [
         "--output", run, "--num-epochs", str(args.ours_epochs),
@@ -432,6 +434,10 @@ def main(argv=None):
     ap.add_argument("--encoder", default="lstm",
                     choices=["lstm", "transformer"],
                     help="stair-tpu encoder variant for this run")
+    ap.add_argument("--filter-attention", default="parity",
+                    choices=["parity", "softmax"],
+                    help="Filter pooling: reference parity quirk or the "
+                         "corrected softmax variant")
     args = ap.parse_args(argv)
     if args.func == "build":
         build(args)
