@@ -644,6 +644,23 @@ def span_to_attention(gold: tuple, num_frames: int) -> np.ndarray:
     return out
 
 
+def encode_span(gold: tuple, num_frames: int):
+    """``span_to_attention`` pre-resolved to integer writes.
+
+    -> ((lo, hi, i0, i1), (w0, w1)): interior frames [lo, hi) get 1.0 and
+    the two fractional writes land at i0/i1 (-1 = unused). Device-table
+    batches ship these six numbers per gold row and the jitted step
+    rasterizes; the host does all the float boundary math, so the result
+    is bit-identical to the host-packed [F] vector."""
+    start = min(num_frames - 0.002, max(0.001, gold[0]))
+    end = min(num_frames - 0.001, gold[1])
+    s_int, e_int = math.ceil(start), math.floor(end)
+    lo, hi = (s_int, e_int) if s_int < e_int else (0, 0)
+    if s_int <= e_int:
+        return (lo, hi, s_int - 1, e_int), (s_int - start, end - e_int)
+    return (lo, hi, e_int, -1), (end - start, 0.0)
+
+
 # Supervision channel codes (routing inside the jitted loss).
 (SUP_NONE, SUP_BOOL, SUP_EQUALS, SUP_ATTN1, SUP_ATTN2, SUP_CONTRAST,
  SUP_FRAME) = range(7)
@@ -699,6 +716,11 @@ class Batch:
     video_clip: np.ndarray = None     # [B, 2] int32 [lo, hi) frame range
     question_ids: np.ndarray = None   # [B, L] int32 (-1 pad) embed rows
     cand_ids: np.ndarray = None       # [B, C, Lc] int32 (-1 pad) embed rows
+    # device-table mode replaces sup_attn with its encoded form
+    # (``encode_span``): [B, T, 2, 4] int32 (lo, hi, i0, i1) +
+    # [B, T, 2, 2] f32 fractional weights, rasterized inside the step.
+    sup_attn_enc: np.ndarray = None
+    sup_attn_w: np.ndarray = None
 
 
 def device_table_support(ds) -> str | None:
@@ -868,7 +890,16 @@ class Batcher:
             root_is_vec=tb.root_is_vec,
             sup_channel=np.zeros((B, T), dtype=np.int32),
             sup_bool=np.zeros((B, T), dtype=np.float32),
-            sup_attn=np.zeros((B, T, 2, F), dtype=np.float32),
+            sup_attn=(
+                None if dev else np.zeros((B, T, 2, F), dtype=np.float32)
+            ),
+            sup_attn_enc=(
+                np.concatenate([
+                    np.zeros((B, T, 2, 2), np.int32),        # lo, hi
+                    np.full((B, T, 2, 2), -1, np.int32),     # i0, i1
+                ], axis=-1) if dev else None
+            ),
+            sup_attn_w=np.zeros((B, T, 2, 2), np.float32) if dev else None,
             sup_attn_rows=np.zeros((B, T), dtype=np.int32),
             class_emb=np.zeros(
                 (self.max_classes, self.max_class_len, text_dim),
@@ -937,6 +968,14 @@ class Batcher:
                 )
             src_len = ds.video_secs.get(rec["video_id"], 0) * 3
 
+            def put_gold(b, t, r, iv):
+                if batch.sup_attn is not None:
+                    batch.sup_attn[b, t, r] = span_to_attention(iv, F)
+                else:
+                    enc, w = encode_span(iv, F)
+                    batch.sup_attn_enc[b, t, r] = enc
+                    batch.sup_attn_w[b, t, r] = w
+
             def rescale(iv):
                 if src_len <= 0 or video_len <= 0:
                     return iv
@@ -965,9 +1004,7 @@ class Batcher:
                         and isinstance(gold[0], float)
                     ):
                         batch.sup_channel[b, t] = channel
-                        batch.sup_attn[b, t, 0] = span_to_attention(
-                            rescale(gold), F
-                        )
+                        put_gold(b, t, 0, rescale(gold))
                         batch.sup_attn_rows[b, t] = 1
                 elif channel == SUP_ATTN2:
                     if isinstance(gold, list) and gold and isinstance(
@@ -976,9 +1013,7 @@ class Batcher:
                         rows = min(len(gold), 2)
                         batch.sup_channel[b, t] = channel
                         for r in range(rows):
-                            batch.sup_attn[b, t, r] = span_to_attention(
-                                rescale(gold[r]), F
-                            )
+                            put_gold(b, t, r, rescale(gold[r]))
                         batch.sup_attn_rows[b, t] = rows
                 elif family == "FilterFrame" and isinstance(gold, dict):
                     # Per-class occurrence grid, rows normalized

@@ -154,9 +154,24 @@ def materialize_batch(batch: dict, tables: dict | None) -> dict:
         ids[:, :, None] >= 0, tables["embed_table"][jnp.clip(ids, 0)], 0.0
     )
     qmask = (ids >= 0).astype(jnp.float32)
+    # Rasterize the encoded gold spans (dataset.encode_span): interior
+    # frames [lo, hi) get 1.0 plus two host-computed fractional writes —
+    # all boundary math happened on host, so this is bit-identical to the
+    # host-packed sup_attn.
+    enc = batch["sup_attn_enc"]                 # [B, T, 2, 4] int32
+    w = batch["sup_attn_w"]                     # [B, T, 2, 2] f32
+    fpos = jnp.arange(F, dtype=jnp.int32)
+    interior = (
+        (fpos >= enc[..., 0:1]) & (fpos < enc[..., 1:2])
+    ).astype(jnp.float32)
+    sup_attn = (
+        interior
+        + w[..., 0:1] * (fpos == enc[..., 2:3])
+        + w[..., 1:2] * (fpos == enc[..., 3:4])
+    )
     out = dict(
         batch, video=video, video_mask=vmask,
-        question=q, question_mask=qmask,
+        question=q, question_mask=qmask, sup_attn=sup_attn,
     )
     if batch.get("cand_ids") is not None:
         cids = batch["cand_ids"]
@@ -176,7 +191,6 @@ def _base_device_dict(batch) -> dict:
         "root_is_vec": batch.root_is_vec,
         "sup_channel": batch.sup_channel,
         "sup_bool": batch.sup_bool,
-        "sup_attn": batch.sup_attn,
         "sup_attn_rows": batch.sup_attn_rows,
         "class_emb": batch.class_emb,
         "class_emb_mask": batch.class_emb_mask,
@@ -190,10 +204,13 @@ def _base_device_dict(batch) -> dict:
         d["question_ids"] = batch.question_ids
         d["video_idx"] = batch.video_idx
         d["video_clip"] = batch.video_clip
+        d["sup_attn_enc"] = batch.sup_attn_enc
+        d["sup_attn_w"] = batch.sup_attn_w
         if batch.cand_ids is not None:
             d["cand_ids"] = batch.cand_ids
             d["cand_valid"] = batch.cand_valid
     else:
+        d["sup_attn"] = batch.sup_attn
         d["question"] = batch.question
         d["question_mask"] = batch.question_mask
         d["video"] = batch.video

@@ -239,6 +239,9 @@ def test_device_tables_bit_parity(train_world):
     np.testing.assert_array_equal(
         np.asarray(mat["question_mask"]), host_batch["question_mask"]
     )
+    np.testing.assert_array_equal(
+        np.asarray(mat["sup_attn"]), host_batch["sup_attn"]
+    )
 
     host_step = make_eval_step(model)
     dev_step = make_eval_step(model, tables)
