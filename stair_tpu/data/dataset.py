@@ -386,17 +386,21 @@ class AGQADataset:
         return ids
 
     def device_video_table(self):
-        """Cached padded export of the feature arena for device residency:
-        (table [n, F, D] f32, lengths [n] int32, video_id -> row)."""
-        if getattr(self, "_device_video_table", None) is None:
-            self._device_video_table = self.feature_arena.padded_table(
-                self.max_video_length
-            )
-        return self._device_video_table
+        """Padded export of the feature arena for device residency:
+        (table [n, F, D] f32, lengths [n] int32, video_id -> row).
+
+        The padded table is built transiently (the caller uploads it and
+        drops the host copy — caching it would duplicate the arena in
+        RAM); only the cheap id->row index is cached."""
+        return self.feature_arena.padded_table(self.max_video_length)
 
     @property
     def feature_arena_index(self) -> dict:
-        return self.device_video_table()[2]
+        if getattr(self, "_arena_index", None) is None:
+            self._arena_index = {
+                vid: i for i, vid in enumerate(self.feature_arena.offsets)
+            }
+        return self._arena_index
 
     def video_feature(self, rec) -> np.ndarray:
         return self.video_feats[rec["video_id"]]
@@ -826,11 +830,12 @@ class Batcher:
                 ids = ds.question_token_ids(idx)[:L]
                 question_ids[b, : len(ids)] = ids
                 video_idx[b] = vindex[rec["video_id"]]
-                if clip_mode:
-                    lo, hi = ds.video_clip(rec)
-                else:
-                    lo, hi = 0, arena.lengths[rec["video_id"]]
-                video_clip[b] = (lo, min(hi, lo + F))
+                n = min(arena.lengths[rec["video_id"]], F)
+                lo, hi = ds.video_clip(rec) if clip_mode else (0, n)
+                # Clamp to the stored frame count: the host path's
+                # feats[lo:hi] silently truncates (or comes back empty),
+                # and the device mask must match it exactly.
+                video_clip[b] = (min(lo, n), min(hi, n))
             else:
                 q = ds.question_embedding(rec)[:L]
                 question[b, : len(q)] = q
@@ -957,15 +962,16 @@ class Batcher:
                 continue
             if batch.video_mask is not None:
                 video_len = int(batch.video_mask[b].sum())
-            elif hasattr(ds, "video_clip"):
-                lo, hi = ds.video_clip(rec)
-                video_len = min(hi - lo, F)
             else:
-                # device-table mode: the mask materializes on device; the
-                # true length comes from the arena.
-                video_len = min(
-                    ds.feature_arena.lengths[rec["video_id"]], F
-                )
+                # device-table mode: the mask materializes on device;
+                # mirror the host mask length (clip clamped to the
+                # stored frame count).
+                n = min(ds.feature_arena.lengths[rec["video_id"]], F)
+                if hasattr(ds, "video_clip"):
+                    lo, hi = ds.video_clip(rec)
+                    video_len = max(0, min(hi, n) - min(lo, n))
+                else:
+                    video_len = n
             src_len = ds.video_secs.get(rec["video_id"], 0) * 3
 
             def put_gold(b, t, r, iv):

@@ -209,20 +209,12 @@ def train(args):
 
     os.makedirs(args.output, exist_ok=True)
     it, t0 = 0, time.time()
-    from stair_tpu.runtime.loader import PrefetchIterator
-
-    def device_batches(gen):
-        # Pack + start the async H2D on a background thread so transfers
-        # overlap the previous step (slow-link hosts).
-        for batch in gen:
-            yield jax.device_put(
-                {k: jnp.asarray(v) for k, v in batch.items()}
-            )
+    from stair_tpu.runtime.loader import device_prefetch
 
     for epoch in range(args.num_epochs):
-        for dbatch in PrefetchIterator(
-            device_batches(data.batches(args.batch_size,
-                                        seed=args.seed + epoch))
+        for dbatch in device_prefetch(
+            {k: np.asarray(v) for k, v in batch.items()}
+            for batch in data.batches(args.batch_size, seed=args.seed + epoch)
         ):
             params, opt_state, loss = step(params, opt_state, dbatch)
             it += 1

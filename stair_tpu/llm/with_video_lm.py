@@ -222,21 +222,15 @@ def train(args):
     os.makedirs(args.output, exist_ok=True)
     best_acc, step_i = 0.0, 0
     t0 = time.time()
-    from stair_tpu.runtime.loader import PrefetchIterator
-
-    def device_batches(gen):
-        # Pack + start the async H2D on a background thread so transfers
-        # overlap the previous step (slow-link hosts).
-        import jax
-
-        for batch in gen:
-            yield jax.device_put(_device_batch(batch))
+    from stair_tpu.runtime.loader import device_prefetch
 
     for epoch in range(args.num_epochs):
-        for dbatch in PrefetchIterator(device_batches(train_data.batches(
-            args.batch_size, args.tokenizer_max_length, Fmax,
-            shuffle=True, seed=args.rand_seed + epoch,
-        ))):
+        for dbatch in device_prefetch(
+            _device_batch(batch) for batch in train_data.batches(
+                args.batch_size, args.tokenizer_max_length, Fmax,
+                shuffle=True, seed=args.rand_seed + epoch,
+            )
+        ):
             params, opt_state, loss = train_step(params, opt_state, dbatch)
             step_i += 1
             if step_i % args.report_interval == 0:

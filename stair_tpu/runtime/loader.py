@@ -326,6 +326,18 @@ def native_parse_lower_batch(
     )
 
 
+def device_prefetch(batches):
+    """PrefetchIterator that also starts each batch's (async) H2D transfer
+    in the worker thread, so transfers overlap the previous device step."""
+    import jax
+
+    def worker():
+        for b in batches:
+            yield jax.device_put(b)
+
+    return PrefetchIterator(worker())
+
+
 class PrefetchIterator:
     """Run a batch generator on a background thread with a bounded queue."""
 

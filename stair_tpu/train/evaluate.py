@@ -35,7 +35,6 @@ from stair_tpu.programs.parser import children_and_parents, module_levels
 from stair_tpu.train import checkpoint as ckpt
 from stair_tpu.train.args import get_args
 from stair_tpu.train.loop import (
-    batch_to_device_dict,
     data_paths,
     make_batcher,
 )

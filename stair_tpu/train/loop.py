@@ -461,7 +461,11 @@ def main(args=None):
     train_tables = valid_tables = None
     if args.device_tables != "off":
         train_tables = make_device_tables(train_ds, mesh)
-        valid_tables = make_device_tables(valid_ds, mesh)
+        # --debug reuses the train dataset as valid: share the upload.
+        valid_tables = (
+            train_tables if valid_ds is train_ds
+            else make_device_tables(valid_ds, mesh)
+        )
         if train_tables is not None:
             print("device tables: video features + embeddings resident "
                   "(batches ship int32 indices)")

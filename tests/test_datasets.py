@@ -309,3 +309,33 @@ def test_star_device_tables_bit_parity(star_world):
     np.testing.assert_array_equal(
         np.asarray(mat["cand_valid"]), host.cand_valid
     )
+
+
+def test_star_device_tables_out_of_range_clip(star_world):
+    """Clips extending past the stored video (or starting beyond it) must
+    mask identically in host and device modes (the host path's feats[lo:hi]
+    silently truncates)."""
+    jax = pytest.importorskip("jax")
+    from stair_tpu.train.loop import (
+        batch_to_device_dict,
+        make_device_tables,
+        materialize_batch,
+    )
+
+    ds = STARDataset(star_world, "train", max_video_length=24)
+    ds.records[0]["end"] = 10_000.0       # far past the video duration
+    ds.records[1]["start"] = 10_000.0     # clip entirely out of range
+    ds.records[1]["end"] = 10_001.0
+    T, NV, NF, NA = ds.trace_geometry()
+    kw = dict(batch_size=4, max_steps=T, num_vec=NV, num_frames=NF,
+              num_attn=NA)
+    host = next(Batcher(ds, **kw).epoch(shuffle=False))
+    dev = next(Batcher(ds, device_tables=True, **kw).epoch(shuffle=False))
+    tables = make_device_tables(ds)
+    mat = jax.jit(
+        lambda b: materialize_batch(b, tables)
+    )(batch_to_device_dict(dev))
+    np.testing.assert_array_equal(
+        np.asarray(mat["video_mask"]), host.video_mask
+    )
+    np.testing.assert_array_equal(np.asarray(mat["video"]), host.video)
