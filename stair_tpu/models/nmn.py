@@ -131,7 +131,13 @@ class VideoNMN:
 
     def _encode(self, enc_params, x, mask):
         if self.config.encoder == "lstm":
-            return bilstm(enc_params, x, mask)
+            # bf16 compute mode runs the LSTM matmuls on the MXU in bf16
+            # (f32 state/accumulation — standard mixed precision).
+            mm = (
+                jnp.bfloat16
+                if self.config.compute_dtype == "bfloat16" else None
+            )
+            return bilstm(enc_params, x, mask, mm_dtype=mm)
         return transformer_encode(enc_params, x, mask)
 
     def encode_video(self, params, video, video_mask):

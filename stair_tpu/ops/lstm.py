@@ -43,15 +43,27 @@ def init_lstm_params(rng, input_size: int, hidden_size: int) -> dict:
     return {"fwd": direction(keys[:4]), "bwd": direction(keys[4:])}
 
 
-def _direction_scan(p, x, mask):
+def _mm(a, b, mm_dtype):
+    """Matmul, optionally running the MXU in a lower precision while
+    accumulating (and carrying state) in float32."""
+    if mm_dtype is None:
+        return a @ b
+    return jnp.dot(
+        a.astype(mm_dtype), b.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _direction_scan(p, x, mask, mm_dtype=None):
     """One direction over [L, D] with mask [L]; returns (h_seq [L, h], h_last)."""
     h_dim = p["wh"].shape[0]
-    x_proj = x @ p["wi"] + p["bi"] + p["bh"]          # [L, 4h], hoisted
+    x_proj = _mm(x, p["wi"], mm_dtype) + p["bi"] + p["bh"]  # [L, 4h], hoisted
+    wh = p["wh"] if mm_dtype is None else p["wh"].astype(mm_dtype)
 
     def step(carry, inp):
         h, c = carry
         gates_x, valid = inp
-        gates = gates_x + h @ p["wh"]
+        gates = gates_x + _mm(h, wh, mm_dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -66,18 +78,20 @@ def _direction_scan(p, x, mask):
     return h_seq, h_last
 
 
-def bilstm(params, x, mask):
+def bilstm(params, x, mask, mm_dtype=None):
     """Run the BiLSTM on one sequence.
 
     Args:
       x: [L, D] padded sequence; mask: [L] validity.
+      mm_dtype: optional lower precision for the matmuls (state and
+        accumulation stay float32) — set by the model in bf16 compute mode.
     Returns:
       token_features [L, 2h] (zeroed on padding) and the sentence feature
       [2h] = concat(final forward state, final backward state).
     """
-    fwd_seq, fwd_last = _direction_scan(params["fwd"], x, mask)
+    fwd_seq, fwd_last = _direction_scan(params["fwd"], x, mask, mm_dtype)
     bwd_seq_rev, bwd_last = _direction_scan(
-        params["bwd"], x[::-1], mask[::-1]
+        params["bwd"], x[::-1], mask[::-1], mm_dtype
     )
     bwd_seq = bwd_seq_rev[::-1]
     tokens = jnp.concatenate([fwd_seq, bwd_seq], axis=-1) * mask[:, None]
