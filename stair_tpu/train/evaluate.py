@@ -114,13 +114,19 @@ def evaluate_acc(args, model, params, ds):
     from stair_tpu.runtime.loader import PrefetchIterator
     from stair_tpu.train.loop import _device_batches
 
-    for i, (batch, bdict) in enumerate(PrefetchIterator(
-        _device_batches(batcher, None, shuffle=False)
-    )):
+    # Dispatch every batch first, fetch per batch afterwards: fetching
+    # inline would serialize a device round trip into each iteration.
+    pending = [
+        (batch, step(params, bdict))
+        for batch, bdict in PrefetchIterator(
+            _device_batches(batcher, None, shuffle=False)
+        )
+    ]
+    for i, (batch, dev_preds) in enumerate(pending):
         if i % 50 == 0:
             print(datetime.datetime.now().strftime("%H:%M:%S"),
                   f"batch {i}, {total} examples")
-        preds = np.asarray(step(params, bdict))
+        preds = np.asarray(dev_preds)
         real = batch.meta["real"]
         golds = batch.answer[:real]
         correct += int(np.sum((preds[:real] == golds) & (golds != unk)))
@@ -180,10 +186,14 @@ def filter_text_results(args, model, params, ds):
     from stair_tpu.runtime.loader import PrefetchIterator
     from stair_tpu.train.loop import _device_batches
 
-    for batch, bdict in PrefetchIterator(
-        _device_batches(batcher, None, shuffle=False)
-    ):
-        regs_vec = np.asarray(step(params, bdict))
+    pending = [
+        (batch, step(params, bdict))
+        for batch, bdict in PrefetchIterator(
+            _device_batches(batcher, None, shuffle=False)
+        )
+    ]
+    for batch, dev_regs in pending:
+        regs_vec = np.asarray(dev_regs)
         vocab_np = np.asarray(vocab_reps)
         for b in range(batch.meta["real"]):
             idx = batch.meta["indices"][b]

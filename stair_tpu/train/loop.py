@@ -344,10 +344,15 @@ def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
     from stair_tpu.runtime.loader import PrefetchIterator
 
-    for batch, bdict in PrefetchIterator(
-        _device_batches(batcher, mesh, shuffle=False)
-    ):
-        res = jax.device_get(eval_step(params, bdict))
+    # Dispatch every batch first, fetch once: a per-batch device_get is a
+    # synchronous round trip (expensive over a slow device link).
+    pending = [
+        (batch, eval_step(params, bdict))
+        for batch, bdict in PrefetchIterator(
+            _device_batches(batcher, mesh, shuffle=False)
+        )
+    ]
+    for batch, res in ((b, jax.device_get(r)) for b, r in pending):
         real = batch.meta["real"]
         preds = res["preds"][:real]
         golds = batch.answer[:real]
