@@ -373,6 +373,27 @@ class AGQADataset:
     def question_embedding(self, rec) -> np.ndarray:
         return self.embeddings.embed_sentence(rec["question"])
 
+    def text_embedding_cached(self, text: str) -> np.ndarray:
+        """Cached ``embeddings.embed_sentence`` for recurring short strings
+        (gold class names re-embed every batch otherwise)."""
+        cache = getattr(self, "_text_emb_cache", None)
+        if cache is None:
+            cache = self._text_emb_cache = {}
+        e = cache.get(text)
+        if e is None:
+            e = cache[text] = self.embeddings.embed_sentence(text)
+        return e
+
+    def text_token_ids_cached(self, text: str) -> np.ndarray:
+        """Cached ``embeddings.sentence_ids`` for recurring short strings."""
+        cache = getattr(self, "_text_ids_cache", None)
+        if cache is None:
+            cache = self._text_ids_cache = {}
+        ids = cache.get(text)
+        if ids is None:
+            ids = cache[text] = self.embeddings.sentence_ids(text)
+        return ids
+
     def question_token_ids(self, idx: int) -> np.ndarray:
         """Cached ``embeddings.sentence_ids`` for record ``idx`` (questions
         are static; re-tokenizing every epoch cost ~6 ms/batch)."""
@@ -725,6 +746,8 @@ class Batch:
     # [B, T, 2, 2] f32 fractional weights, rasterized inside the step.
     sup_attn_enc: np.ndarray = None
     sup_attn_w: np.ndarray = None
+    # device-table mode replaces class_emb/class_emb_mask with token ids
+    class_token_ids: np.ndarray = None  # [C, Lc] int32 (-1 pad)
 
 
 def device_table_support(ds) -> str | None:
@@ -906,12 +929,20 @@ class Batcher:
             ),
             sup_attn_w=np.zeros((B, T, 2, 2), np.float32) if dev else None,
             sup_attn_rows=np.zeros((B, T), dtype=np.int32),
-            class_emb=np.zeros(
-                (self.max_classes, self.max_class_len, text_dim),
-                dtype=np.float32,
+            class_emb=(
+                None if dev else np.zeros(
+                    (self.max_classes, self.max_class_len, text_dim),
+                    dtype=np.float32,
+                )
             ),
-            class_emb_mask=np.zeros(
-                (self.max_classes, self.max_class_len), dtype=np.float32
+            class_emb_mask=(
+                None if dev else np.zeros(
+                    (self.max_classes, self.max_class_len), dtype=np.float32
+                )
+            ),
+            class_token_ids=(
+                np.full((self.max_classes, self.max_class_len), -1,
+                        np.int32) if dev else None
             ),
             class_valid=np.zeros((self.max_classes,), dtype=np.float32),
             sup_class=-np.ones((B, T, self.max_positives), dtype=np.int32),
@@ -950,9 +981,14 @@ class Batcher:
                 if cid >= self.max_classes:
                     return -1
                 class_ids[name] = cid
-                emb = ds.embeddings.embed_sentence(name)[: self.max_class_len]
-                batch.class_emb[cid, : len(emb)] = emb
-                batch.class_emb_mask[cid, : len(emb)] = 1.0
+                Lc = self.max_class_len
+                if batch.class_emb is not None:
+                    emb = ds.text_embedding_cached(name)[:Lc]
+                    batch.class_emb[cid, : len(emb)] = emb
+                    batch.class_emb_mask[cid, : len(emb)] = 1.0
+                else:
+                    ids = ds.text_token_ids_cached(name)[:Lc]
+                    batch.class_token_ids[cid, : len(ids)] = ids
                 batch.class_valid[cid] = 1.0
             return class_ids[name]
 

@@ -116,11 +116,21 @@ def make_device_tables(ds, mesh=None) -> dict | None:
         return None
     table, lens, _ = ds.device_video_table()
     # Mint every OOV row up front so the uploaded table is final (and warm
-    # the per-record id caches the batcher reads).
-    for i in range(len(ds.records)):
+    # the per-record id caches the batcher reads). Gold class names come
+    # from the symbolic step results and can contain words no question
+    # uses, so they are minted too.
+    for i, rec in enumerate(ds.records):
         ds.question_token_ids(i)
         if hasattr(ds, "candidate_token_ids"):
             ds.candidate_token_ids(i)
+        for gold in (rec.get("sg_res_by_step") or {}).values():
+            names = (
+                [gold] if isinstance(gold, str) else
+                [g for g in gold if isinstance(g, str)]
+                if isinstance(gold, list) else []
+            )
+            for name in names:
+                ds.text_token_ids_cached(name)
     emb = ds.embeddings.embedding_table()
     put = (
         (lambda x: jax.device_put(x, replicated(mesh)))
@@ -169,9 +179,15 @@ def materialize_batch(batch: dict, tables: dict | None) -> dict:
         + w[..., 0:1] * (fpos == enc[..., 2:3])
         + w[..., 1:2] * (fpos == enc[..., 3:4])
     )
+    cls = batch["class_token_ids"]
+    class_emb = jnp.where(
+        cls[..., None] >= 0, tables["embed_table"][jnp.clip(cls, 0)], 0.0
+    )
     out = dict(
         batch, video=video, video_mask=vmask,
         question=q, question_mask=qmask, sup_attn=sup_attn,
+        class_emb=class_emb,
+        class_emb_mask=(cls >= 0).astype(jnp.float32),
     )
     if batch.get("cand_ids") is not None:
         cids = batch["cand_ids"]
@@ -192,8 +208,6 @@ def _base_device_dict(batch) -> dict:
         "sup_channel": batch.sup_channel,
         "sup_bool": batch.sup_bool,
         "sup_attn_rows": batch.sup_attn_rows,
-        "class_emb": batch.class_emb,
-        "class_emb_mask": batch.class_emb_mask,
         "class_valid": batch.class_valid,
         "sup_class": batch.sup_class,
         "ff_index": batch.ff_index,
@@ -206,11 +220,14 @@ def _base_device_dict(batch) -> dict:
         d["video_clip"] = batch.video_clip
         d["sup_attn_enc"] = batch.sup_attn_enc
         d["sup_attn_w"] = batch.sup_attn_w
+        d["class_token_ids"] = batch.class_token_ids
         if batch.cand_ids is not None:
             d["cand_ids"] = batch.cand_ids
             d["cand_valid"] = batch.cand_valid
     else:
         d["sup_attn"] = batch.sup_attn
+        d["class_emb"] = batch.class_emb
+        d["class_emb_mask"] = batch.class_emb_mask
         d["question"] = batch.question
         d["question_mask"] = batch.question_mask
         d["video"] = batch.video

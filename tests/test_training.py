@@ -242,6 +242,12 @@ def test_device_tables_bit_parity(train_world):
     np.testing.assert_array_equal(
         np.asarray(mat["sup_attn"]), host_batch["sup_attn"]
     )
+    np.testing.assert_array_equal(
+        np.asarray(mat["class_emb"]), host_batch["class_emb"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat["class_emb_mask"]), host_batch["class_emb_mask"]
+    )
 
     host_step = make_eval_step(model)
     dev_step = make_eval_step(model, tables)
