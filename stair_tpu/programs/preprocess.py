@@ -100,6 +100,9 @@ def convert_example(example: dict) -> dict:
 
 
 def convert_split(examples: list[dict], num_workers: int = 1) -> list[dict]:
+    # Forking more workers than cores only adds scheduler overhead (the
+    # reference defaults to 20; this image may have a single core).
+    num_workers = min(num_workers, os.cpu_count() or 1)
     if num_workers <= 1:
         return [convert_example(e) for e in examples]
     with Pool(num_workers) as pool:
