@@ -89,6 +89,7 @@ def bench_jax(num_questions: int, batch_size: int,
         hidden_size=512, video_size=1024, max_video_length=64,
         traces=tmpl_traces + pool_traces,
     )
+    cfg = type(cfg)(**{**cfg.to_dict(), "compute_dtype": "bfloat16"})
     model, params = workload.build_model(cfg)
     batch = workload.make_batch(cfg, batch_size=batch_size)
     L = batch["question"].shape[1]
@@ -200,7 +201,10 @@ def bench_jax(num_questions: int, batch_size: int,
                 host_time += time.perf_counter() - tp0
                 logits = fwd_ids(params, table, ids, batch)
             done += batch_size
-        jax.block_until_ready(logits)
+        # Fetch-terminated: block_until_ready can return before the
+        # dispatched work completes through the tunnel; fetching the last
+        # batch's logits waits for the whole in-order device queue.
+        np.asarray(logits)
         return time.perf_counter() - t0, host_time, done
 
     # Best of `repeats`: the pipeline is host-bound and this host's single
@@ -214,7 +218,67 @@ def bench_jax(num_questions: int, batch_size: int,
     log(f"{tag}: {done} questions in {elapsed:.3f}s -> {qps:.1f} q/s "
         f"(best of {repeats}; host parse/span/embed {host_time:.3f}s with "
         f"{parse_workers} workers, device+H2D {elapsed - host_time:.3f}s)")
-    return {"qps": qps, "questions": done, "elapsed": elapsed}
+
+    # Device-side MFU of the forward: K forwards chained inside ONE jit
+    # with a real data dependency between iterations (the tunnel caches
+    # identical (executable, args) executions and async dispatch hides
+    # per-call time — a chained scan blocked once is the only honest
+    # device timing here), FLOPs from XLA's compiled cost analysis.
+    from stair_tpu.utils.mfu import compiled_flops, format_mfu, mfu as mfu_of
+
+    k = 10
+
+    def forward(p, b, extra):
+        if serving:
+            return model.forward(p, b, deterministic=True)["logits"]
+        return fwd_ids.__wrapped__(p, extra["table"], extra["ids"], b)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chained(p, b, extra, iters):
+        def body(carry, _):
+            bb = dict(b, video=b["video"] + carry)
+            logits = forward(p, bb, extra)
+            # min*0.0 is not foldable (inf/nan semantics): a true data
+            # dependency that adds no measurable work.
+            return jnp.min(logits.astype(jnp.float32)) * 0.0, \
+                jnp.max(logits)
+
+        _, tops = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters)
+        )
+        return tops
+
+    extra = {} if serving else {"table": table, "ids": jnp.asarray(ids0)}
+    flops = compiled_flops(chained.lower(params, batch, extra, k).compile())
+    flops = flops / k if flops else None
+    # Two-arm fetch-terminated timing: through the tunnel,
+    # block_until_ready can return before the dispatched execution
+    # completes (only a value fetch reliably waits) and the fetch round
+    # trip itself is hundreds-of-ms noisy. Timing k and 2k chained
+    # iterations and differencing cancels every fixed cost (dispatch,
+    # fetch, tunnel); min-of-2 rejects shared-chip contention.
+    def timed(iters, shift):
+        np.asarray(chained(
+            params, dict(batch, video=batch["video"] + shift), extra, iters
+        ))
+        t0 = time.perf_counter()
+        np.asarray(chained(params, batch, extra, iters))
+        return time.perf_counter() - t0
+
+    chained.lower(params, batch, extra, 2 * k).compile()
+    t_k = min(timed(k, 1.0), timed(k, 2.0))
+    t_2k = min(timed(2 * k, 3.0), timed(2 * k, 4.0))
+    dev_step = max(t_2k - t_k, 1e-9) / k
+    device_mfu = mfu_of(flops, dev_step)
+    log(f"{tag} device fwd: {dev_step * 1e3:.2f} ms/batch of {batch_size}; "
+        f"{format_mfu(flops, dev_step)}")
+    return {
+        "qps": qps, "questions": done, "elapsed": elapsed,
+        "device_mfu": device_mfu, "device_step_ms": dev_step * 1e3,
+        "device_flops_per_batch": flops,
+    }
 
 
 def bench_reference(num_questions: int) -> float | None:
@@ -327,6 +391,10 @@ def main():
         "baseline_qps": round(baseline, 2) if baseline else None,
         "baseline_source": source,
         "serving_qps": round(serving["qps"], 1),
+        "device_fwd_mfu": (
+            round(res["device_mfu"], 4) if res.get("device_mfu") else None
+        ),
+        "device_fwd_ms_per_batch": round(res["device_step_ms"], 2),
     }))
 
 

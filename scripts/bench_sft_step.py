@@ -58,9 +58,16 @@ def run(params, opt_state):
     return params, opt_state, losses
 
 p2, o2, losses = run(params, opt_state)
-jax.block_until_ready(losses)
+np.asarray(losses)  # fetch: block_until_ready is unreliable over tunnel
 t0 = time.perf_counter()
 p2, o2, losses = run(params, opt_state)
-jax.block_until_ready(losses)
+np.asarray(losses)
 dt = (time.perf_counter() - t0) / 6
 print(f"SFT step B={B} L={L}: {dt*1e3:.1f} ms/step ({B/dt:.1f} seq/s), loss={float(losses[-1]):.3f}")
+
+from stair_tpu.utils.mfu import compiled_flops, format_mfu
+
+flops = compiled_flops(run.lower(params, opt_state).compile())
+per_step_flops = flops / 6 if flops else None
+print(f"mfu: {format_mfu(per_step_flops, dt)}"
+      + (f" [{per_step_flops / 1e12:.2f} TFLOP/step]" if per_step_flops else ""))

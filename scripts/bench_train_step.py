@@ -99,12 +99,12 @@ def main():
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     p2, s2, losses = chained(params, opt_state, rng)
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # fetch: block_until_ready is unreliable over tunnel
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     p2, s2, losses = chained(params, opt_state, rng)
-    jax.block_until_ready(losses)
+    np.asarray(losses)
     dt = time.perf_counter() - t0
 
     per_step = dt / args.iters
@@ -113,6 +113,14 @@ def main():
           f"H={args.hidden} F={args.frames} {args.dtype}: "
           f"{per_step * 1e3:.1f} ms/step "
           f"({args.batch / per_step:.0f} q/s), losses[-1]={losses[-1]:.3f}")
+
+    from stair_tpu.utils.mfu import compiled_flops, format_mfu
+
+    flops = compiled_flops(chained.lower(params, opt_state, rng).compile())
+    per_step_flops = flops / args.iters if flops else None
+    print(f"mfu: {format_mfu(per_step_flops, per_step)}"
+          + (f" [{per_step_flops / 1e9:.1f} GFLOP/step]"
+             if per_step_flops else ""))
 
 
 if __name__ == "__main__":

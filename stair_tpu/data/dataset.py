@@ -537,8 +537,14 @@ class STARDataset(AGQADataset):
         if start is None or end is None:
             return 0, n
         secs = self.video_secs.get(rec["video_id"], 0) or 1
-        lo = int(start / secs * n)
-        hi = max(lo + 1, int(end / secs * n))
+        # Clamp to [0, n]: malformed negative timestamps would otherwise make
+        # the host path's feats[lo:hi] slice from the end (Python negative
+        # indexing) while the device gather clamps to frame 0 — the two paths
+        # must agree on every record.
+        if n == 0:
+            return 0, 0
+        lo = min(max(0, int(start / secs * n)), n - 1)
+        hi = min(max(lo + 1, int(end / secs * n)), n)
         return lo, hi
 
     def candidate_token_ids(self, idx: int) -> list:

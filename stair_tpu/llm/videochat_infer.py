@@ -96,21 +96,37 @@ def initialize_model(args):
     return model, params, tokenizer
 
 
-def video_chatgpt_infer_batch(model, params, tokenizer, questions, frame_sets,
-                              conv_mode="video-chatgpt_v1", max_new_tokens=64,
-                              temperature=0.2, rng=None):
-    """Answer a batch of (question, frames) pairs; returns strings."""
-    cfg = model.config
-    V = cfg.video_token_len
+def encode_video_batch(model, params, frame_sets):
+    """CLIP-encode each sample's frames -> [B, V, D] spliceable features.
 
-    # Encode videos.
+    Split out of the infer path so multi-question flows (the consistency
+    benchmark asks two questions of the same video — reference
+    run_inference_benchmark_consistency.py:69-77) encode each video once
+    and reuse the cached features across questions.
+    """
+    cfg = model.config
     video_tokens = []
     for frames in frame_sets:
         images = jnp.asarray(
             preprocess_frames(frames, size=cfg.vision.image_size)
         )
         video_tokens.append(model.encode_video(params, images))
-    video_tokens = jnp.stack(video_tokens)
+    return jnp.stack(video_tokens)
+
+
+def video_chatgpt_infer_batch(model, params, tokenizer, questions, frame_sets,
+                              conv_mode="video-chatgpt_v1", max_new_tokens=64,
+                              temperature=0.2, rng=None, video_tokens=None):
+    """Answer a batch of (question, frames) pairs; returns strings.
+
+    ``video_tokens`` (precomputed [B, V, D]) skips the vision tower —
+    pass ``encode_video_batch``'s output to reuse features across calls.
+    """
+    cfg = model.config
+    V = cfg.video_token_len
+
+    if video_tokens is None:
+        video_tokens = encode_video_batch(model, params, frame_sets)
 
     # Build prompts with the conversation template.
     prompts = []
@@ -203,6 +219,68 @@ def run_inference(args):
     print(f"wrote {len(results)} predictions -> {out}")
 
 
+def run_inference_consistency(args):
+    """Consistency benchmark: TWO questions per sample against the SAME
+    video (reference run_inference_benchmark_consistency.py:50-80) —
+    predictions ``pred1``/``pred2`` are appended to each sample record.
+
+    The video is CLIP-encoded once per sample; both questions generate
+    against the cached [V, D] features (the reference re-runs the vision
+    tower implicitly cached inside video_chatgpt_infer's frame tensor —
+    here the reuse is explicit and batched).
+    """
+    with open(args.gt_file) as f:
+        samples = json.load(f)
+    model, params, tokenizer = initialize_model(args)
+    video_formats = [".mp4", ".avi", ".mov", ".mkv", ""]
+    results = []
+    batch_samples, batch_f = [], []
+
+    def flush():
+        nonlocal batch_samples, batch_f
+        if not batch_samples:
+            return
+        video_tokens = encode_video_batch(model, params, batch_f)
+        preds = {}
+        for qkey, pkey in (("Q1", "pred1"), ("Q2", "pred2")):
+            qs = [s.get(qkey, "") for s in batch_samples]
+            preds[pkey] = video_chatgpt_infer_batch(
+                model, params, tokenizer, qs, batch_f,
+                conv_mode=args.conv_mode, video_tokens=video_tokens,
+            )
+        for i, sample in enumerate(batch_samples):
+            results.append(dict(
+                sample, pred1=preds["pred1"][i], pred2=preds["pred2"][i],
+            ))
+        batch_samples, batch_f = [], []
+
+    for sample in samples:
+        video_name = sample.get("video_name", sample.get("video", ""))
+        video_path = None
+        for fmt in video_formats:
+            cand = os.path.join(args.video_dir, f"{video_name}{fmt}")
+            if os.path.exists(cand):
+                video_path = cand
+                break
+        if video_path is None:
+            continue
+        try:
+            frames = load_video_frames(video_path, args.num_frames)
+        except Exception as err:
+            print("skipping", video_path, err)
+            continue
+        batch_samples.append(sample)
+        batch_f.append(frames)
+        if len(batch_samples) == args.batch_size:
+            flush()
+    flush()
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, args.output_name + ".json")
+    with open(out, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {len(results)} consistency predictions -> {out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--video-dir", required=True)
@@ -215,7 +293,14 @@ def main(argv=None):
     p.add_argument("--conv-mode", default="video-chatgpt_v1")
     p.add_argument("--num-frames", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=4)
-    run_inference(p.parse_args(argv))
+    p.add_argument("--consistency", action="store_true",
+                   help="two-questions-per-sample (Q1/Q2 -> pred1/pred2) "
+                        "consistency-benchmark flow")
+    args = p.parse_args(argv)
+    if args.consistency:
+        run_inference_consistency(args)
+    else:
+        run_inference(args)
 
 
 if __name__ == "__main__":

@@ -110,7 +110,7 @@ def llm_param_sharding(params, mesh: Mesh):
 #: Batch-dict keys whose leading axis is NOT the example axis (shared
 #: tables / sparse slot arrays) — replicated rather than dp-sharded.
 REPLICATED_BATCH_KEYS = frozenset({
-    "class_emb", "class_emb_mask", "class_valid",
+    "class_emb", "class_emb_mask", "class_valid", "class_token_ids",
     "ff_index", "ff_gold", "ff_valid",
 })
 

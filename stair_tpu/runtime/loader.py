@@ -326,6 +326,27 @@ def native_parse_lower_batch(
     )
 
 
+def windowed(iterable, depth: int = 4):
+    """Yield from ``iterable`` keeping at most ``depth`` items materialized
+    ahead of the consumer.
+
+    Used to bound async-dispatched device work: a plain list comprehension
+    over dispatched eval steps would put every batch's inputs/outputs in
+    flight at once (the whole split resident on device); a per-item fetch
+    serializes a device round trip into each iteration. A window keeps the
+    pipeline full without unbounded residency.
+    """
+    from collections import deque
+
+    buf = deque()
+    for item in iterable:
+        buf.append(item)
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def device_prefetch(batches):
     """PrefetchIterator that also starts each batch's (async) H2D transfer
     in the worker thread, so transfers overlap the previous device step."""

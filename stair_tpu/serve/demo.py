@@ -12,8 +12,16 @@ Endpoints:
   POST /api/new_session  — {video_path} -> {session_id}
   POST /api/chat         — {session_id, message} -> {reply}
   GET  /api/sessions     — list active sessions
+  GET  /api/stats        — request-latency percentiles (p50/p90/p99)
 
-Run: ``python -m stair_tpu.serve.demo --port 7860 [--model-ckpt DIR]``
+Moderation: incoming chat messages run through
+``serve.logutil.violates_moderation`` (local blocklist + optional
+configured endpoint — ref video_chatgpt/utils.py:101) and flagged
+messages get the reference's moderation reply instead of a generation.
+
+Run: ``python -m stair_tpu.serve.demo --port 7860 [--model-ckpt DIR]
+[--log-dir DIR]`` (``--log-dir`` installs the daily-rotating file logger
++ stdout/stderr capture, ref utils.py:build_logger).
 """
 
 from __future__ import annotations
@@ -22,12 +30,45 @@ import argparse
 import json
 import logging
 import os
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from stair_tpu.serve.logutil import moderation_msg, violates_moderation
+
 logger = logging.getLogger("stair_tpu.serve")
+
+
+class LatencyTracker:
+    """Per-endpoint request latencies -> percentile report (serving tail
+    latency belongs next to every throughput number)."""
+
+    def __init__(self, cap: int = 10000):
+        self.cap = cap
+        self.samples: dict[str, list[float]] = {}
+
+    def record(self, endpoint: str, seconds: float):
+        buf = self.samples.setdefault(endpoint, [])
+        buf.append(seconds)
+        if len(buf) > self.cap:
+            del buf[: len(buf) - self.cap]
+
+    def report(self) -> dict:
+        out = {}
+        for endpoint, buf in self.samples.items():
+            if not buf:
+                continue
+            arr = np.sort(np.asarray(buf))
+            out[endpoint] = {
+                "count": int(arr.size),
+                "p50_ms": float(np.percentile(arr, 50) * 1e3),
+                "p90_ms": float(np.percentile(arr, 90) * 1e3),
+                "p99_ms": float(np.percentile(arr, 99) * 1e3),
+                "max_ms": float(arr[-1] * 1e3),
+            }
+        return out
 
 _PAGE = """<!doctype html><html><head><title>stair-tpu video chat</title>
 <style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
@@ -148,7 +189,9 @@ class ChatBackend:
         return reply
 
 
-def make_handler(backend: ChatBackend):
+def make_handler(backend: ChatBackend, latency: LatencyTracker | None = None):
+    latency = latency or LatencyTracker()
+
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj, code=200):
             body = json.dumps(obj).encode()
@@ -172,6 +215,8 @@ def make_handler(backend: ChatBackend):
                           "turns": len(s["history"])}
                     for sid, s in backend.sessions.items()
                 })
+            elif self.path == "/api/stats":
+                self._json(latency.report())
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -182,6 +227,7 @@ def make_handler(backend: ChatBackend):
             except json.JSONDecodeError:
                 return self._json({"error": "bad json"}, 400)
             try:
+                t0 = time.perf_counter()
                 if self.path == "/api/new_session":
                     path = payload.get("video_path", "")
                     if not os.path.exists(path):
@@ -189,12 +235,19 @@ def make_handler(backend: ChatBackend):
                             {"error": f"video not found: {path}"}, 404
                         )
                     sid = backend.new_session(path)
+                    latency.record("new_session", time.perf_counter() - t0)
                     return self._json({"session_id": sid})
                 if self.path == "/api/chat":
                     sid = payload.get("session_id")
                     if sid not in backend.sessions:
                         return self._json({"error": "unknown session"}, 404)
-                    reply = backend.chat(sid, payload.get("message", ""))
+                    message = payload.get("message", "")
+                    if violates_moderation(message):
+                        logger.info("moderation flagged message")
+                        return self._json({"reply": moderation_msg,
+                                           "flagged": True})
+                    reply = backend.chat(sid, message)
+                    latency.record("chat", time.perf_counter() - t0)
                     return self._json({"reply": reply})
                 self._json({"error": "not found"}, 404)
             except Exception as err:  # surface errors to the client
@@ -213,8 +266,16 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--model-ckpt", default=None)
     p.add_argument("--num-frames", type=int, default=100)
+    p.add_argument("--log-dir", default=None,
+                   help="install the rotating file logger + stdout/stderr "
+                        "capture (ref utils.py:build_logger)")
     args = p.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    if args.log_dir:
+        from stair_tpu.serve.logutil import build_logger
+
+        build_logger("stair_tpu.serve", "demo.log", log_dir=args.log_dir)
+    else:
+        logging.basicConfig(level=logging.INFO)
 
     from stair_tpu.llm.videochat_infer import initialize_model
 

@@ -111,17 +111,18 @@ def evaluate_acc(args, model, params, ds):
 
     correct = total = 0
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
-    from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.runtime.loader import PrefetchIterator, windowed
+
     from stair_tpu.train.loop import _device_batches
 
-    # Dispatch every batch first, fetch per batch afterwards: fetching
-    # inline would serialize a device round trip into each iteration.
-    pending = [
+    # Bounded window of dispatched steps: keeps the device pipeline full
+    # without the whole split's batches resident at once.
+    pending = windowed(
         (batch, step(params, bdict))
         for batch, bdict in PrefetchIterator(
             _device_batches(batcher, None, shuffle=False)
         )
-    ]
+    )
     for i, (batch, dev_preds) in enumerate(pending):
         if i % 50 == 0:
             print(datetime.datetime.now().strftime("%H:%M:%S"),
@@ -183,15 +184,15 @@ def filter_text_results(args, model, params, ds):
         return out["regs_vec"]
 
     results = {}
-    from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.runtime.loader import PrefetchIterator, windowed
     from stair_tpu.train.loop import _device_batches
 
-    pending = [
+    pending = windowed(
         (batch, step(params, bdict))
         for batch, bdict in PrefetchIterator(
             _device_batches(batcher, None, shuffle=False)
         )
-    ]
+    )
     for batch, dev_regs in pending:
         regs_vec = np.asarray(dev_regs)
         vocab_np = np.asarray(vocab_reps)

@@ -359,16 +359,17 @@ def evaluate_accuracy(model, params, batcher, eval_step, mesh=None):
     counts = np.zeros((len(FAMILIES),))
     cos_sum = cos_count = 0.0
     preds_golds = {"preds": [], "golds": [], "qa_ids": []}
-    from stair_tpu.runtime.loader import PrefetchIterator
+    from stair_tpu.runtime.loader import PrefetchIterator, windowed
 
-    # Dispatch every batch first, fetch once: a per-batch device_get is a
-    # synchronous round trip (expensive over a slow device link).
-    pending = [
+    # Keep a bounded window of dispatched steps in flight: per-batch fetch
+    # would serialize a device round trip into each iteration, while
+    # dispatching the whole split up front leaves every batch resident.
+    pending = windowed(
         (batch, eval_step(params, bdict))
         for batch, bdict in PrefetchIterator(
             _device_batches(batcher, mesh, shuffle=False)
         )
-    ]
+    )
     for batch, res in ((b, jax.device_get(r)) for b, r in pending):
         real = batch.meta["real"]
         preds = res["preds"][:real]

@@ -231,3 +231,47 @@ def test_weight_delta_roundtrip_through_files(tmp_path):
         restored = serialization.from_bytes(base, f.read())
     np.testing.assert_array_equal(restored["a"]["w"], tuned["a"]["w"])
     np.testing.assert_array_equal(restored["b"], tuned["b"])
+
+
+def test_consistency_benchmark_flow(tmp_path):
+    """Two-questions-per-sample consistency CLI (ref
+    run_inference_benchmark_consistency.py:50-88): both questions run
+    against the SAME cached video features; output records carry the
+    sample fields plus pred1/pred2."""
+    import json
+
+    import imageio.v3 as iio
+
+    from stair_tpu.llm.videochat_infer import main as infer_main
+
+    rng = np.random.RandomState(1)
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    clip = (rng.rand(8, 48, 64, 3) * 255).astype(np.uint8)
+    iio.imwrite(str(vdir / "v0.gif"), clip, loop=0)
+
+    gt = [
+        {
+            "video_name": "v0.gif",
+            "Q1": "what did they do ?",
+            "Q2": "what video question ?",
+            "A": "answer",
+        },
+        {"video_name": "missing.gif", "Q1": "a", "Q2": "b", "A": "c"},
+    ]
+    gt_file = tmp_path / "gt.json"
+    gt_file.write_text(json.dumps(gt))
+
+    out_dir = tmp_path / "out"
+    infer_main([
+        "--video-dir", str(vdir), "--gt-file", str(gt_file),
+        "--output-dir", str(out_dir), "--output-name", "consistency",
+        "--num-frames", "4", "--batch-size", "2", "--consistency",
+    ])
+    with open(out_dir / "consistency.json") as f:
+        results = json.load(f)
+    # The missing video is skipped, like the reference's existence check.
+    assert len(results) == 1
+    rec = results[0]
+    assert rec["video_name"] == "v0.gif" and rec["A"] == "answer"
+    assert isinstance(rec["pred1"], str) and isinstance(rec["pred2"], str)
