@@ -343,21 +343,43 @@ class VideoNMN:
 
         vmask_b = jnp.asarray(video_mask)
 
-        def reg_read(regfile, idx):
-            """[B, N, ...] x [B] -> [B, ...] as a one-hot contraction.
+        # STAIR_REG_GATHER=1 forces the gather/scatter register ops in
+        # training too (perf triage; default: one-hot for the backward).
+        if deterministic or _os.environ.get("STAIR_REG_GATHER") == "1":
+            # Eval/serving forwards are never differentiated: per-example
+            # gathers/scatters touch only the indexed [F, H] slices, so a
+            # step's register traffic is ~3 slice-sized transfers instead
+            # of ~4 full-file rewrites (the frames file is the executor's
+            # dominant HBM stream — measured 38 -> a few ms/batch-of-512).
+            def reg_read(regfile, idx):
+                return jnp.take_along_axis(
+                    regfile,
+                    idx.reshape((-1,) + (1,) * (regfile.ndim - 1)),
+                    axis=1,
+                )[:, 0]
 
-            A dynamic per-example gather would transpose to a scatter-add
-            in the backward pass — measured ~5x slower than this dense
-            form on TPU at the executor's register-file sizes.
-            """
-            oh = jax.nn.one_hot(idx, regfile.shape[1], dtype=regfile.dtype)
-            return jnp.einsum("bn,bn...->b...", oh, regfile)
+            def reg_write(regfile, idx, value):
+                b = jnp.arange(regfile.shape[0])
+                return regfile.at[b, idx].set(value, mode="drop")
+        else:
+            # Training: one-hot contractions. A dynamic per-example gather
+            # transposes to a scatter-add in the backward pass — measured
+            # ~5x slower than this dense form on TPU at the executor's
+            # register-file sizes.
+            def reg_read(regfile, idx):
+                """[B, N, ...] x [B] -> [B, ...] as a one-hot contraction."""
+                oh = jax.nn.one_hot(
+                    idx, regfile.shape[1], dtype=regfile.dtype
+                )
+                return jnp.einsum("bn,bn...->b...", oh, regfile)
 
-        def reg_write(regfile, idx, value):
-            """Blend ``value`` into register ``idx`` per example."""
-            oh = jax.nn.one_hot(idx, regfile.shape[1], dtype=regfile.dtype)
-            oh = oh.reshape(oh.shape + (1,) * (regfile.ndim - 2))
-            return regfile * (1 - oh) + oh * value[:, None]
+            def reg_write(regfile, idx, value):
+                """Blend ``value`` into register ``idx`` per example."""
+                oh = jax.nn.one_hot(
+                    idx, regfile.shape[1], dtype=regfile.dtype
+                )
+                oh = oh.reshape(oh.shape + (1,) * (regfile.ndim - 2))
+                return regfile * (1 - oh) + oh * value[:, None]
 
         def read_operands(regs, instr):
             rv, rf, ra = regs
@@ -368,9 +390,12 @@ class VideoNMN:
             )
 
         def grouped(x, table, groups):
+            # Emit the compute dtype directly: MXU accumulation is f32
+            # either way, and a separate f32 output + convert doubles the
+            # [B*F, H] output traffic (profiled ~6 ms/fwd at B=1024).
             return jax.lax.ragged_dot(
-                x, table, groups, preferred_element_type=jnp.float32
-            ).astype(dt)
+                x, table, groups, preferred_element_type=dt
+            )
 
         def heavy_stages(regs, operands, instr, srng):
             """All [F, H]-matmul module families for the whole batch as
