@@ -449,6 +449,48 @@ def _kernel_shapes_ok(q, k):
             and q.shape[-1] <= LANES), bq, bkv
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _route(q, k):
+    """Static routing decision: ``("dense", ...)``, ``("flash", bq, bkv,
+    Lq, Lkv)``, or ``("pad", 512, 512, Lq_padded, Lkv_padded)``.
+
+    Measured fwd+bwd crossover on v5e (B=8, H=12, D=64, prefix-LM mask):
+    512-wide blocks win vs dense XLA (1.26x at L=1024, 1.66x at L=2048)
+    but the 128-wide blocks that fit odd lengths LOSE (0.59x at L=896 —
+    the actual Video-ChatGPT shape, 356 video + ~512 text). Padding such
+    lengths up to a 512 multiple and masking via ``valid_len`` restores
+    the win (padded-1024 flash 3.6 ms vs dense-896 4.0 ms). Short
+    sequences (<= 256) stay dense — kernel launch overhead dominates.
+    """
+    ok, bq, bkv = _kernel_shapes_ok(q, k)
+    Lq, Lkv = q.shape[2], k.shape[2]
+    if not ok:
+        return ("dense", 0, 0, Lq, Lkv)
+    if min(bq, bkv) >= 256:
+        return ("flash", bq, bkv, Lq, Lkv)
+    if max(Lq, Lkv) <= 256:
+        return ("dense", 0, 0, Lq, Lkv)
+    pq, pkv = _round_up(Lq, 512), _round_up(Lkv, 512)
+    # Padding overhead guard: at ~14% padding (L=896 -> 1024) the padded
+    # kernel measures ~parity-to-better vs dense; at >=25% the wasted
+    # rows hand the win back to dense XLA.
+    if pq * pkv > 1.25 * 1.25 * Lq * Lkv:
+        return ("dense", 0, 0, Lq, Lkv)
+    return ("pad", 512, 512, pq, pkv)
+
+
+def _pad_seq(x, target):
+    L = x.shape[2]
+    if L == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, target - L)
+    return jnp.pad(x, pad)
+
+
 def _xla_forward_with_lse(q, k, v, prefix_len, valid_len, causal, sm_scale):
     """Dense-XLA forward that also returns the row log-sum-exp in the exact
     layout the Pallas forward emits ([B, H, Lq, LANES] f32, lane-replicated,
@@ -505,17 +547,24 @@ def flash_attention(q, k, v, prefix_len, valid_len, causal=True,
     (and everywhere when sequence shapes don't tile onto the MXU).
     """
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    ok, bq, bkv = _kernel_shapes_ok(q, k)
-    if not ok:
+    route, bq, bkv, pq, pkv = _route(q, k)
+    if route == "dense":
         return reference_attention(
             q, k, v, prefix_len, valid_len, causal, scale
         )
+    Lq = q.shape[2]
+
+    def tpu_fn(q, k, v, prefix_len, valid_len):
+        out = _flash_forward(
+            _pad_seq(q, pq), _pad_seq(k, pkv), _pad_seq(v, pkv),
+            prefix_len, valid_len, causal=causal, sm_scale=scale,
+            block_q=bq, block_kv=bkv,
+        )
+        return out[:, :, :Lq]
+
     return jax.lax.platform_dependent(
         q, k, v, prefix_len, valid_len,
-        tpu=functools.partial(
-            _flash_forward, causal=causal, sm_scale=scale,
-            block_q=bq, block_kv=bkv,
-        ),
+        tpu=tpu_fn,
         default=functools.partial(
             reference_attention, causal=causal, sm_scale=scale
         ),
@@ -524,14 +573,21 @@ def flash_attention(q, k, v, prefix_len, valid_len, causal=True,
 
 def _fwd(q, k, v, prefix_len, valid_len, causal, sm_scale):
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    ok, bq, bkv = _kernel_shapes_ok(q, k)
-    if ok:
+    route, bq, bkv, pq, pkv = _route(q, k)
+    if route != "dense":
+        Lq = q.shape[2]
+
+        def tpu_fn(q, k, v, prefix_len, valid_len):
+            out, lse = _flash_forward(
+                _pad_seq(q, pq), _pad_seq(k, pkv), _pad_seq(v, pkv),
+                prefix_len, valid_len, causal=causal, sm_scale=scale,
+                block_q=bq, block_kv=bkv, save_residuals=True,
+            )
+            return out[:, :, :Lq], lse[:, :, :Lq]
+
         out, lse = jax.lax.platform_dependent(
             q, k, v, prefix_len, valid_len,
-            tpu=functools.partial(
-                _flash_forward, causal=causal, sm_scale=scale,
-                block_q=bq, block_kv=bkv, save_residuals=True,
-            ),
+            tpu=tpu_fn,
             default=functools.partial(
                 _xla_forward_with_lse, causal=causal, sm_scale=scale
             ),
@@ -546,14 +602,30 @@ def _fwd(q, k, v, prefix_len, valid_len, causal, sm_scale):
 def _bwd(causal, sm_scale, residuals, g):
     q, k, v, prefix_len, valid_len, o, lse = residuals
     scale = sm_scale if sm_scale is not None else 1.0 / q.shape[-1] ** 0.5
-    ok, bq, bkv = _kernel_shapes_ok(q, k)
-    if ok:
+    route, bq, bkv, pq, pkv = _route(q, k)
+    if route != "dense":
+        Lq, Lkv = q.shape[2], k.shape[2]
+
+        def tpu_fn(q, k, v, o, lse, g, prefix_len, valid_len):
+            # Padded q rows carry lse=+inf (the fully-masked-row
+            # convention): their recomputed probabilities are exactly 0,
+            # and their cotangent rows are zero-padded, so they add
+            # nothing to dk/dv.
+            lse_p = jnp.pad(
+                lse, [(0, 0), (0, 0), (0, pq - Lq), (0, 0)],
+                constant_values=jnp.inf,
+            )
+            dq, dk, dv = _flash_backward(
+                _pad_seq(q, pq), _pad_seq(k, pkv), _pad_seq(v, pkv),
+                _pad_seq(o, pq), lse_p, _pad_seq(g, pq),
+                prefix_len, valid_len, causal=causal, sm_scale=scale,
+                block_q=bq, block_kv=bkv,
+            )
+            return dq[:, :, :Lq], dk[:, :, :Lkv], dv[:, :, :Lkv]
+
         dq, dk, dv = jax.lax.platform_dependent(
             q, k, v, o, lse, g, prefix_len, valid_len,
-            tpu=functools.partial(
-                _flash_backward, causal=causal, sm_scale=scale,
-                block_q=bq, block_kv=bkv,
-            ),
+            tpu=tpu_fn,
             default=functools.partial(
                 _xla_backward, causal=causal, sm_scale=scale
             ),

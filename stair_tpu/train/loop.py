@@ -303,6 +303,9 @@ def make_train_step(model, optimizer, args, tables=None):
                 train_filterframe="FilterFrame" not in (
                     args.modules_no_intermediate_train or []
                 ),
+                contrastive_window=getattr(
+                    args, "contrastive_window", 0
+                ) or 0,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -99,12 +99,17 @@ def filterframe_loss(model, params, out, batch):
     return jnp.sum(per_slot * valid), jnp.sum(valid)
 
 
-def supervision_losses(model, params, out, batch, train_filterframe=False):
+def supervision_losses(model, params, out, batch, train_filterframe=False,
+                       contrastive_window=0):
     """All intermediate losses + decoder CE.
 
     Returns (scalars dict, telemetry) where scalars contains ``module_loss``
     and ``decoder_loss`` (mean per example) and telemetry contains
     per-family loss sums and counts (length ``len(FAMILIES)``).
+
+    ``contrastive_window`` > 0 restricts each example's contrastive
+    negatives to classes occurring within its window-sized group
+    (reference accumulation-window parity); 0 = in-batch negatives.
     """
     cfg = model.config
     tr = batch["trace"]
@@ -187,10 +192,31 @@ def supervision_losses(model, params, out, batch, train_filterframe=False):
     class_reps = encode_class_table(model, params, batch)       # [C, H]
     pred = l2_normalize(vec_out, axis=-1)                       # [B, T, H]
     sims = jnp.einsum("bth,ch->btc", pred, class_reps)          # [B, T, C]
-    sims = jnp.where(batch["class_valid"][None, None, :] > 0, sims, -jnp.inf)
-    lse_c = jax.nn.logsumexp(sims, axis=-1)                     # [B, T]
     cls = batch["sup_class"]                                    # [B, T, P]
     pair_valid = (cls >= 0) & (ch == SUP_CONTRAST)[..., None]
+    neg_mask = batch["class_valid"][None, None, :] > 0          # [1, 1, C]
+    if contrastive_window and contrastive_window < B:
+        # Parity mode for the reference's gradient-accumulation-window
+        # negatives (train_module.py:360-406): each example's contrastive
+        # CE scores only classes that appear as gold in its own
+        # ``contrastive_window``-example group (the reference collects
+        # class reps over a 32-example accumulation window and uses the
+        # OTHER window classes as negatives). In-batch (window=0) uses
+        # every class in the batch — more negatives, a strictly harder
+        # contrastive task.
+        W = contrastive_window
+        G = -(-B // W)
+        group_of_b = jnp.arange(B) // W                         # [B]
+        C = class_reps.shape[0]
+        flat_cls = jnp.maximum(cls, 0).reshape(B, -1)           # [B, T*P]
+        flat_ok = pair_valid.reshape(B, -1).astype(jnp.int32)
+        gidx = jnp.broadcast_to(group_of_b[:, None], flat_cls.shape)
+        incidence = jnp.zeros((G, C), jnp.int32).at[
+            gidx, flat_cls
+        ].add(flat_ok, mode="drop")                             # [G, C]
+        neg_mask = neg_mask & (incidence[group_of_b] > 0)[:, None, :]
+    sims = jnp.where(neg_mask, sims, -jnp.inf)
+    lse_c = jax.nn.logsumexp(sims, axis=-1)                     # [B, T]
     picked_c = jnp.take_along_axis(
         sims, jnp.maximum(cls, 0), axis=-1
     )                                                           # [B, T, P]
@@ -272,6 +298,7 @@ def total_loss(
     decoder_gate,
     deterministic: bool = False,
     train_filterframe: bool = False,
+    contrastive_window: int = 0,
 ):
     """Full training objective; returns (loss, aux).
 
@@ -280,7 +307,8 @@ def total_loss(
     """
     out = model.forward(params, batch, rng=rng, deterministic=deterministic)
     scalars, telemetry = supervision_losses(
-        model, params, out, batch, train_filterframe=train_filterframe
+        model, params, out, batch, train_filterframe=train_filterframe,
+        contrastive_window=contrastive_window,
     )
     answer_loss = scalars["decoder_loss"]
     if batch.get("cand_emb") is not None:

@@ -238,3 +238,128 @@ def test_t5_beam_decodes():
     )
     assert tokens.shape == (1, 3, 6)
     assert np.all(np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1])
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2)])
+def test_llm_sharded_sft_step_matches_single_device(dp, tp, cpu_devices):
+    """tp-sharded SFT step must reproduce the single-device step (loss +
+    updated params) — protects parallel/mesh.py llm_param_sharding against
+    numerics regressions (the multichip dryrun only smoke-checks)."""
+    import optax
+
+    from stair_tpu.llm.clip import ClipVisionConfig
+    from stair_tpu.llm.decoder import DecoderConfig
+    from stair_tpu.llm.videochat import VideoChatConfig, VideoChatModel
+    from stair_tpu.parallel.mesh import (
+        llm_param_sharding,
+        make_mesh,
+        shard_batch,
+    )
+
+    if len(cpu_devices) < dp * tp:
+        pytest.skip(f"need {dp * tp} cpu devices")
+
+    dec = DecoderConfig.llama(
+        vocab_size=64 * tp, d_model=32 * tp, num_heads=2 * tp,
+        num_layers=2, d_ff=64 * tp, max_len=128,
+    )
+    vis = ClipVisionConfig(
+        image_size=28, patch_size=14, d_model=16, num_heads=2,
+        num_layers=1, d_ff=32,
+    )
+    cfg = VideoChatConfig(decoder=dec, vision=vis, max_temporal=4)
+    model = VideoChatModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+
+    B, L = 2 * dp, 64
+    rng = np.random.RandomState(0)
+    V = cfg.video_token_len
+    batch = {
+        "token_ids": rng.randint(0, dec.vocab_size, (B, L)).astype(np.int32),
+        "labels": rng.randint(-1, dec.vocab_size, (B, L)).astype(np.int32),
+        "video_tokens": rng.randn(B, V, vis.d_model).astype(np.float32),
+        "splice_start": np.full((B,), 2, np.int32),
+        "valid_len": np.full((B,), L, np.int32),
+    }
+    optimizer = optax.adam(1e-3)
+
+    @jax.jit
+    def sft_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.sft_loss(p, batch)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p1, _, loss1 = sft_step(params, optimizer.init(params), batch)
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=cpu_devices)
+    params2 = {
+        "decoder": jax.device_put(
+            params["decoder"], llm_param_sharding(params["decoder"], mesh)
+        ),
+        "vision": params["vision"],
+        "mm_projector": params["mm_projector"],
+    }
+    batch2 = shard_batch(dict(batch), mesh)
+    p2, _, loss2 = sft_step(params2, optimizer.init(params2), batch2)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(jax.device_get(p1))
+    l2 = jax.tree_util.tree_leaves(jax.device_get(p2))
+    # Same tolerance as the NMN sharded-step test: f32 reduction-order
+    # differences through the tp psum get amplified by Adam's rsqrt at
+    # near-zero second moments.
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_flash_route_padding_decisions():
+    """Routing: 512-divisible lengths run the kernel directly; odd lengths
+    above the crossover pad to a 512 multiple (masked via valid_len);
+    short or heavily-padded lengths stay dense (measured crossovers on
+    v5e — see _route docstring)."""
+    from stair_tpu.ops.attention import _route
+
+    def probe(Lq, Lkv=None):
+        Lkv = Lkv or Lq
+        q = jnp.zeros((1, 1, Lq, 64), jnp.float32)
+        k = jnp.zeros((1, 1, Lkv, 64), jnp.float32)
+        return _route(q, k)
+
+    assert probe(1024)[0] == "flash"
+    assert probe(2048)[0] == "flash"
+    assert probe(768)[0] == "flash"      # 256-wide blocks fit
+    assert probe(128)[0] == "dense"      # short: launch overhead dominates
+    route, bq, bkv, pq, pkv = probe(896)  # the Video-ChatGPT shape
+    assert route == "pad" and (bq, bkv) == (512, 512) and pq == pkv == 1024
+    assert probe(640)[0] == "dense"      # 60% padding -> dense
+    assert probe(100)[0] == "dense"      # no MXU-friendly block at all
+
+
+def test_flash_padded_route_interpret_parity():
+    """The padded kernel path (L=896 -> 1024 with valid_len masking) must
+    match dense attention on the unpadded rows."""
+    from stair_tpu.ops.attention import _flash_forward, _pad_seq
+
+    rng = np.random.RandomState(1)
+    B, H, L, D = 2, 2, 384, 32
+    q, k, v = (
+        jnp.asarray(rng.randn(B, H, L, D).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    prefix = jnp.array([50, 0], jnp.int32)
+    valid = jnp.array([384, 300], jnp.int32)
+    ref = reference_attention(q, k, v, prefix, valid)
+    P = 512
+    out = _flash_forward(
+        _pad_seq(q, P), _pad_seq(k, P), _pad_seq(v, P),
+        prefix, valid, causal=True, sm_scale=1 / np.sqrt(D),
+        block_q=128, block_kv=128, interpret=True,
+    )[:, :, :L]
+    for b in range(B):
+        nv = int(valid[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, :nv], np.asarray(ref)[b, :, :nv],
+            rtol=1e-5, atol=1e-5,
+        )

@@ -257,3 +257,42 @@ def test_device_tables_bit_parity(train_world):
     np.testing.assert_allclose(
         host_out["loss_sums"], dev_out["loss_sums"], rtol=1e-6
     )
+
+
+def test_contrastive_window_negatives(train_world):
+    """--contrastive-window parity mode (reference accumulation-window
+    negatives, ref train_module.py:360-406): each example's contrastive CE
+    scores only classes occurring in its own W-example group, so the total
+    loss over a batch equals the sum of per-group in-batch losses computed
+    with each group's own class restriction. window >= B must reproduce
+    the in-batch loss exactly."""
+    from stair_tpu.train.losses import supervision_losses
+
+    ds = train_world
+    args, model, params, _, _, batcher, _ = _setup(ds)
+    batch = next(batcher.epoch(shuffle=False))
+    bdict = batch_to_device_dict(batch)
+    B = bdict["trace"]["opcode"].shape[0]
+    out = model.forward(params, bdict, deterministic=True)
+
+    s_inbatch, _ = supervision_losses(model, params, out, bdict)
+    s_full_window, _ = supervision_losses(
+        model, params, out, bdict, contrastive_window=B
+    )
+    np.testing.assert_allclose(
+        float(s_inbatch["module_loss"]), float(s_full_window["module_loss"]),
+        rtol=1e-6,
+    )
+
+    W = max(1, B // 2)
+    s_win, _ = supervision_losses(
+        model, params, out, bdict, contrastive_window=W
+    )
+    # Windowed loss uses fewer (or equal) negatives -> logsumexp can only
+    # shrink -> contrastive CE (and hence module_loss) cannot increase.
+    assert (float(s_win["module_loss"])
+            <= float(s_inbatch["module_loss"]) + 1e-6)
+    # And it must differ unless every class in the batch occurs in every
+    # group (vanishingly unlikely in the synthetic world).
+    assert (float(s_win["module_loss"])
+            != float(s_inbatch["module_loss"]))
