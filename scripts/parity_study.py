@@ -142,6 +142,10 @@ def ours(args):
         extra += ["--encoder", args.encoder]
     if args.filter_attention != "parity":
         extra += ["--filter-attention", args.filter_attention]
+    if args.contrastive_window:
+        extra += ["--contrastive-window", str(args.contrastive_window)]
+    if args.rand_seed != 1:
+        extra += ["--rand-seed", str(args.rand_seed)]
     steps_per_epoch = max(1, args_count(args, "train") // args.batch_size)
     targs = get_args(_common_flags(args) + extra + [
         "--output", run, "--num-epochs", str(args.ours_epochs),
@@ -384,21 +388,40 @@ def report(args):
             }
         result["models"][name] = accs
 
-    if ref_preds is not None:
-        shared = sorted(set(ours_preds) & set(ref_preds))
+    def paired(preds, split="all"):
+        shared = [
+            qa for qa in sorted(set(preds) & set(ref_preds))
+            if split in subsets(qa)
+        ]
         diffs = []
         for qa in shared:
-            a = ours_preds[qa][0] == ours_preds[qa][1]
+            a = preds[qa][0] == preds[qa][1]
             b = ref_preds[qa][0] == ref_preds[qa][1]
             diffs.append(int(a) - int(b))
         d = np.asarray(diffs, np.float64)
+        if len(d) < 2:
+            return None
         mean = float(d.mean())
-        se = float(d.std(ddof=1) / math.sqrt(len(d))) if len(d) > 1 else 0.0
-        result["paired_diff"] = {
-            "n": len(d),
-            "mean": round(mean, 4),
-            "ci95": [round(mean - 1.96 * se, 4), round(mean + 1.96 * se, 4)],
-            "note": "stair_tpu minus reference, per shared test question",
+        se = float(d.std(ddof=1) / math.sqrt(len(d)))
+        return {
+            "n": len(d), "mean": round(mean, 4),
+            "ci95": [round(mean - 1.96 * se, 4),
+                     round(mean + 1.96 * se, 4)],
+        }
+
+    if ref_preds is not None:
+        result["paired_diff"] = dict(
+            paired(ours_preds),
+            note="stair_tpu minus reference, per shared test question",
+        )
+        # Per-variant, per-split paired differences: the more_steps rows
+        # are the deep-program evidence VERDICT r2 asked for.
+        result["paired_diff_by_model"] = {
+            name: {
+                split: paired(preds, split)
+                for split in ("all", "novel_comp", "more_steps")
+            }
+            for name, preds in [("stair_tpu", ours_preds)] + variants
         }
     out = os.path.join(args.root, "PARITY.json")
     with open(out, "w") as f:
@@ -438,6 +461,11 @@ def main(argv=None):
                     choices=["parity", "softmax"],
                     help="Filter pooling: reference parity quirk or the "
                          "corrected softmax variant")
+    ap.add_argument("--contrastive-window", type=int, default=0,
+                    help="stair-tpu --contrastive-window for this run "
+                         "(reference accumulation-window negatives parity)")
+    ap.add_argument("--rand-seed", type=int, default=1,
+                    help="stair-tpu trainer seed for independent retrains")
     args = ap.parse_args(argv)
     if args.func == "build":
         build(args)

@@ -445,8 +445,9 @@ class VideoNMN:
             inv1 = jnp.argsort(perm1)
             e1s = e1[perm1]
             gs1 = jnp.bincount(e1, length=11).astype(jnp.int32)
+            fa_s = fa[perm1]                                # [B, F, H] sorted
             h = grouped(
-                fa[perm1].reshape(B * F, H), tables["w1u"], gs1 * F
+                fa_s.reshape(B * F, H), tables["w1u"], gs1 * F
             ).reshape(B, F, H) + tables["b1u"][e1s][:, None, :]
             h = M.dropout(jax.nn.relu(h), rate, rngs[0], deterministic)
             h2 = grouped(
@@ -471,16 +472,18 @@ class VideoNMN:
             d3 = jnp.where(e1s < 4, 0, jnp.where(e1s < 8, 1, 2))
             # Filter pooling: parity = uniform sum over valid frames
             # (the reference's degenerate softmax); 'softmax' = corrected.
+            # The [feat, kw] concat heads are split into two half-matmuls
+            # (w rows [:H] for feat, [H:] for the broadcast keyword): the
+            # [B, F, 2H] concat materialization was ~2 full HBM streams
+            # per step in the profile.
             if is_parity:
                 weights = vm_s[:, :, None]
             else:
-                fk = jnp.concatenate(
-                    [feat_s,
-                     jnp.broadcast_to(va_s[:, None, :], feat_s.shape)],
-                    axis=-1,
-                )
-                logits = (fk @ mods["filter"]["attn_w"]
-                          + mods["filter"]["attn_b"])[..., 0]
+                aw = mods["filter"]["attn_w"]
+                logits = (
+                    feat_s @ aw[:H]
+                    + (va_s @ aw[H:] + mods["filter"]["attn_b"])[:, None, :]
+                )[..., 0]
                 soft = M.masked_softmax(logits, vm_s > 0, axis=-1)
                 weights = jnp.where(
                     (op_s == int(Opcode.FILTER_V))[:, None, None],
@@ -491,18 +494,16 @@ class VideoNMN:
                 grouped(pooled, tables["dense3"], gs3) + tables["db3"][d3]
             )[inv1]
             # FilterFrame sigmoid gate (vec path) or identity.
-            ffk = jnp.concatenate(
-                [feat_s, jnp.broadcast_to(va_s[:, None, :], feat_s.shape)],
-                axis=-1,
-            )
+            ffw = mods["filterframe"]["attn_w"]
             gate = jax.nn.sigmoid(
-                ffk @ mods["filterframe"]["attn_w"]
-                + mods["filterframe"]["attn_b"]
+                feat_s @ ffw[:H]
+                + (va_s @ ffw[H:]
+                   + mods["filterframe"]["attn_b"])[:, None, :]
             )                                              # [B, F, 1]
             gate = jnp.where(
                 (op_s == int(Opcode.FILTERFRAME_V))[:, None, None], gate, 1.0
             )
-            x_ff = (gate * feat_s)[inv1]
+            x_ff_s = gate * feat_s                          # stays sorted
 
             # ---- temporal gated attention (banded-matmul convs) ----------
             attn_mean = jnp.where((count == 2)[:, None], (aa + ab) / 2.0, aa)
@@ -512,23 +513,36 @@ class VideoNMN:
 
             # ---- stage 2: output projections -----------------------------
             # experts: [ff.dense | temporal.dense | localize.k | null].
+            # Built in the perm1-SORTED domain and re-sorted by composing
+            # permutations: unsorting x_ff to build x2 and re-sorting for
+            # the grouped matmul cost two extra [B, F, H] HBM streams per
+            # step. Only the final y2 is unsorted, once.
             e2 = jnp.where(
                 is_ff, 0,
                 jnp.where(is_temporal, 1, jnp.where(is_supf, 2, 3)),
             )
-            x2 = jnp.where(
-                is_ff[:, None, None], x_ff,
+            e2_s = e2[perm1]
+            is_ff_s = is_ff[perm1]
+            is_temporal_s = is_temporal[perm1]
+            is_supf_s = is_supf[perm1]
+            related_s = related[perm1]
+            fb_s = fb[perm1]
+            x2_s = jnp.where(
+                is_ff_s[:, None, None], x_ff_s,
                 jnp.where(
-                    is_temporal[:, None, None], related[:, :, None] * fa,
-                    jnp.where(is_supf[:, None, None], fb, fa),
+                    is_temporal_s[:, None, None],
+                    related_s[:, :, None] * fa_s,
+                    jnp.where(is_supf_s[:, None, None], fb_s, fa_s),
                 ),
             )
-            perm2 = jnp.argsort(e2)
-            inv2 = jnp.argsort(perm2)
+            perm21 = jnp.argsort(e2_s)
+            composed = perm1[perm21]        # x2_s[perm21] == x2[composed]
+            inv2 = jnp.argsort(composed)
             gs2 = jnp.bincount(e2, length=4).astype(jnp.int32)
             y2 = (grouped(
-                x2[perm2].reshape(B * F, H), tables["w2t"], gs2 * F
-            ).reshape(B, F, H) + tables["b2t"][e2[perm2]][:, None, :])[inv2]
+                x2_s[perm21].reshape(B * F, H), tables["w2t"], gs2 * F
+            ).reshape(B, F, H)
+                + tables["b2t"][e2[composed]][:, None, :])[inv2]
             # Shared relu+dropout epilogue (rows are ff XOR temporal);
             # localize.k output (kw_f) stays linear.
             base = M.dropout(jax.nn.relu(y2), rate, rngs[2], deterministic)
@@ -542,21 +556,47 @@ class VideoNMN:
             kw_pair = M.linear(mods["localize"]["k"], pair)
             loc_scores = (jax.vmap(M.cosine_matrix)(kw_pair, vfeat)
                           + 1.0) * 0.49 * vmask_b[:, None, :]    # [B, 2, F]
-            scores_f = (jax.vmap(M.cosine_matrix)(kw_f, vfeat)
-                        + 1.0) * 0.49 * vmask_b[:, None, :]      # [B, F, F]
             pair_mask = jnp.arange(2)[None, :] < count[:, None]
 
-            def superlative(scores, actions, amask):
-                row = jnp.sum(scores * vmask_b[:, None, :], axis=2)
+            def superlative(scores, actions, amask, m, vm):
+                row = jnp.sum(scores * vm[:, None, :], axis=2)
                 w = M.masked_softmax(row, amask, axis=1)
-                w = jnp.where((mode == 1)[:, None], 1.0 - w, w) * amask
+                w = jnp.where((m == 1)[:, None], 1.0 - w, w) * amask
                 pld = jnp.sum(w[:, :, None] * actions, axis=1)
                 return jax.nn.relu(
                     M.linear(mods["superlative"]["dense"], pld)
                 )
 
-            sup_v = superlative(loc_scores, pair, pair_mask)
-            sup_f = superlative(scores_f, fb, vmask_b > 0)
+            sup_v = superlative(loc_scores, pair, pair_mask, mode, vmask_b)
+
+            # SUPERLATIVE_F's [B, F, F] all-pairs cosine is the fattest
+            # per-step matmul (2*B*F^2*H flops + two [B, F, H] f32 casts)
+            # yet its opcode is rare. Compute it on a B/8-capacity slice
+            # (supf rows sorted first); a full-batch lax.cond branch keeps
+            # the rare overflow case exact rather than silently dropped.
+            def supf_dense(take):
+                del take
+                scores_f = (jax.vmap(M.cosine_matrix)(kw_f, vfeat)
+                            + 1.0) * 0.49 * vmask_b[:, None, :]  # [B, F, F]
+                return superlative(scores_f, fb, vmask_b > 0, mode, vmask_b)
+
+            cap = max(min(B, 16), B // 8)
+            if cap >= B:
+                sup_f = supf_dense(None)
+            else:
+                def supf_sliced(take):
+                    sc = (jax.vmap(M.cosine_matrix)(kw_f[take], vfeat[take])
+                          + 1.0) * 0.49 * vmask_b[take][:, None, :]
+                    sf = superlative(
+                        sc, fb[take], vmask_b[take] > 0, mode[take],
+                        vmask_b[take],
+                    )                                        # [cap, H]
+                    return jnp.zeros((B, H), sf.dtype).at[take].set(sf)
+
+                take = jnp.argsort(~is_supf)[:cap]
+                sup_f = jax.lax.cond(
+                    jnp.sum(is_supf) > cap, supf_dense, supf_sliced, take
+                )
 
             hasitem = M.dropout(
                 jax.nn.sigmoid(out1[..., 0]), rate, rngs[3], deterministic

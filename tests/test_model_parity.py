@@ -209,3 +209,30 @@ def test_audit_intermediates_parity(
                     )
                 checked += 1
     assert checked >= 3
+
+
+def test_batched_forward_matches_per_example():
+    """The batch-level structural optimizations (expert-grouped ragged
+    stages, superlative-F capacity slice + overflow cond, permutation
+    sorts) must be invisible: a B=32 forward equals 32 B=1 forwards."""
+    from stair_tpu.testing import workload
+
+    cfg = workload.workload_config(
+        hidden_size=64, video_size=32, max_video_length=40,
+    )
+    model, params = workload.build_model(cfg)
+    B = 32
+    batch = workload.make_batch(cfg, batch_size=B, seed=3)
+    out = model.forward(params, batch, deterministic=True)
+    logits = np.asarray(out["logits"])
+
+    for b in range(0, B, 5):
+        one = {
+            k: ({kk: vv[b:b + 1] for kk, vv in v.items()}
+                if isinstance(v, dict) else v[b:b + 1])
+            for k, v in batch.items()
+        }
+        lone = np.asarray(
+            model.forward(params, one, deterministic=True)["logits"]
+        )[0]
+        np.testing.assert_allclose(logits[b], lone, rtol=2e-5, atol=2e-5)

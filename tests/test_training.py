@@ -296,3 +296,35 @@ def test_contrastive_window_negatives(train_world):
     # group (vanishingly unlikely in the synthetic world).
     assert (float(s_win["module_loss"])
             != float(s_inbatch["module_loss"]))
+
+
+@pytest.mark.parametrize("device_tables", [False, True])
+def test_vectorized_supervision_pack_bit_parity(train_world, device_tables):
+    """The cached/vectorized supervision packer must reproduce the original
+    per-instruction loop packer bit-for-bit on every supervision field
+    (channels, bools, rasterized/encoded golds, class tables + interning
+    order, FilterFrame slots)."""
+    from stair_tpu.data.dataset import Batcher, device_table_support
+
+    ds = train_world
+    if device_tables and device_table_support(ds) is None:
+        pytest.skip("no device-table support")
+    T, NV, NF, NA = ds.trace_geometry()
+    kw = dict(batch_size=8, max_steps=T, num_vec=NV, num_frames=NF,
+              num_attn=NA, max_classes=3, device_tables=device_tables)
+
+    class SlowBatcher(Batcher):
+        def _pack_supervision(self, batch, recs, traces, indices=None):
+            return self._pack_supervision_slow(batch, recs, traces)
+
+    fast = next(Batcher(ds, **kw).epoch(shuffle=False))
+    slow = next(SlowBatcher(ds, **kw).epoch(shuffle=False))
+
+    for field in ("sup_channel", "sup_bool", "sup_attn", "sup_attn_enc",
+                  "sup_attn_w", "sup_attn_rows", "sup_class", "class_emb",
+                  "class_emb_mask", "class_token_ids", "class_valid",
+                  "ff_index", "ff_gold", "ff_valid"):
+        a, b = getattr(fast, field), getattr(slow, field)
+        assert (a is None) == (b is None), field
+        if a is not None:
+            np.testing.assert_array_equal(a, b, err_msg=field)
