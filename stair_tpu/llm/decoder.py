@@ -46,6 +46,11 @@ class DecoderConfig:
     rope_theta: float = 10000.0
     lora_rank: int = 0
     rms_eps: float = 1e-6
+    #: Rematerialize each transformer layer in the backward pass (keeping
+    #: matmul outputs): required to train >=1B-param configs on one 16GB
+    #: chip — activation memory drops from O(layers x intermediates) to
+    #: O(layers x layer-inputs).
+    remat: bool = False
 
     @property
     def kv_heads(self):
@@ -206,7 +211,8 @@ class Decoder:
             x = x + params["pos_embed"][positions]
 
         h_, kv_, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
-        for layer in params["layers"]:
+
+        def one_layer(layer, x):
             a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
             q = _lora(layer["q"], a_in, _proj(layer["q"], a_in))
             k = _proj(layer["k"], a_in)
@@ -236,7 +242,16 @@ class Decoder:
                 )
             else:
                 h = _gelu_tanh(_proj(layer["up"], m_in))
-            x = x + _proj(layer["down"], h)
+            return x + _proj(layer["down"], h)
+
+        if cfg.remat:
+            one_layer = jax.checkpoint(
+                one_layer,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                prevent_cse=False,
+            )
+        for layer in params["layers"]:
+            x = one_layer(layer, x)
         return _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps)
 
 

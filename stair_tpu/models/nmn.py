@@ -313,12 +313,22 @@ class VideoNMN:
             new_vec = _select(op, vec_cands, jnp.zeros((H,), dt))
 
             # --- frames candidates ----------------------------------------
-            frames_cands = [
-                (Opcode.TEMPORAL, heavy["temporal_out"]),
-                (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
-                (Opcode.FILTERFRAME_V, heavy["ff_frames"]),
-                (Opcode.FILTERFRAME_K, heavy["ff_frames"]),
-            ]
+            if "frames_all" in heavy:
+                # Fused-kernel mode: every frames-producing family's output
+                # already sits in one buffer with the right per-row
+                # epilogue applied.
+                frames_cands = [
+                    (code, heavy["frames_all"])
+                    for code in (Opcode.TEMPORAL, Opcode.ATTNVIDEO,
+                                 Opcode.FILTERFRAME_V, Opcode.FILTERFRAME_K)
+                ]
+            else:
+                frames_cands = [
+                    (Opcode.TEMPORAL, heavy["temporal_out"]),
+                    (Opcode.ATTNVIDEO, M.attnvideo_module(fa, aa)),
+                    (Opcode.FILTERFRAME_V, heavy["ff_frames"]),
+                    (Opcode.FILTERFRAME_K, heavy["ff_frames"]),
+                ]
             new_frames = _select(op, frames_cands, jnp.zeros((F, H), dt))
 
             # --- attn candidates ------------------------------------------
@@ -326,7 +336,9 @@ class VideoNMN:
                 (Opcode.AND_ATTN, M.and_module(aa, ab)),
                 (Opcode.XORFRAME, M.xorframe_module(aa, ab)),
                 (Opcode.HASITEM, heavy["hasitem"]),
-                (Opcode.EXISTSFRAME, M.existsframe_module(va, fa, vmask)),
+                (Opcode.EXISTSFRAME,
+                 heavy["existsframe"] if "existsframe" in heavy
+                 else M.existsframe_module(va, fa, vmask)),
                 (Opcode.LOCALIZE, heavy["loc_scores"][0]),
                 (Opcode.RELATE, M.relate_module(
                     mods["relate"], mode == 1, aa, vmask)),
@@ -381,11 +393,18 @@ class VideoNMN:
                 oh = oh.reshape(oh.shape + (1,) * (regfile.ndim - 2))
                 return regfile * (1 - oh) + oh * value[:, None]
 
-        def read_operands(regs, instr):
+        def read_operands(regs, instr, skip_fa=False):
             rv, rf, ra = regs
+            # Fused-kernel mode gathers fa inside the kernel via index
+            # maps; the XLA-side operand is only consumed by candidates
+            # that don't exist there, so a zeros placeholder is DCE'd.
+            fa = (
+                jnp.zeros(rf.shape[:1] + rf.shape[2:], rf.dtype)
+                if skip_fa else reg_read(rf, instr["fa"])
+            )
             return (
                 reg_read(rv, instr["va"]), reg_read(rv, instr["vb"]),
-                reg_read(rv, instr["vc"]), reg_read(rf, instr["fa"]),
+                reg_read(rv, instr["vc"]), fa,
                 reg_read(ra, instr["aa"]), reg_read(ra, instr["ab"]),
             )
 
@@ -620,6 +639,162 @@ class VideoNMN:
                 heavy["temporal_rel"] = jnp.zeros((B, F), dt)
             return heavy
 
+        # Fused Pallas executor step (deterministic/eval only): the per-
+        # step kernel gathers operands straight from the register files
+        # via scalar-prefetched index maps and applies every [F, H]-level
+        # family with its epilogue in VMEM — see ops/executor_step.py.
+        # STAIR_FUSED_EXEC: auto (on for TPU lowering), 0 (off),
+        # interpret (CPU interpreter, for parity tests).
+        fuse_env = _os.environ.get("STAIR_FUSED_EXEC", "auto")
+        _default_dev = getattr(jax.config, "jax_default_device", None)
+        use_fused = (
+            deterministic and is_parity and not _ABLATE
+            and fuse_env != "0"
+            and (
+                fuse_env == "interpret"
+                or (jax.default_backend() != "cpu"
+                    and getattr(_default_dev, "platform", None) != "cpu")
+            )
+        )
+
+        def heavy_fused(regs, operands, instr):
+            from stair_tpu.ops import executor_step as ES
+
+            rv, rf, ra = regs
+            op = instr["opcode"]
+            mode = instr["mode"]
+            count = instr["count"]
+            va, vb, _vc, _fa, aa, ab = operands
+
+            is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
+                op == int(Opcode.FILTERFRAME_K)
+            )
+            is_filter = is_ff | (op == int(Opcode.FILTER_V)) | (
+                op == int(Opcode.FILTER_K)
+            )
+            is_kw = (op == int(Opcode.FILTER_K)) | (
+                op == int(Opcode.FILTERFRAME_K)
+            )
+            is_supf = op == int(Opcode.SUPERLATIVE_F)
+            is_locsup = (
+                (op == int(Opcode.LOCALIZE))
+                | (op == int(Opcode.SUPERLATIVE_V)) | is_supf
+            )
+            is_hasitem = op == int(Opcode.HASITEM)
+            is_temporal = op == int(Opcode.TEMPORAL)
+            is_attnvideo = op == int(Opcode.ATTNVIDEO)
+
+            e1 = jnp.where(
+                is_filter,
+                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0),
+                jnp.where(is_locsup, 8, jnp.where(is_hasitem, 10, 9)),
+            )
+            e2 = jnp.where(
+                is_ff, ES.E2_FF,
+                jnp.where(
+                    is_temporal, ES.E2_TEMPORAL,
+                    jnp.where(
+                        is_supf, ES.E2_SUPF,
+                        jnp.where(is_attnvideo, ES.E2_ATTNVIDEO,
+                                  ES.E2_NULL),
+                    ),
+                ),
+            )
+            perm = jnp.argsort(e1 * 5 + e2)
+
+            attn_mean = jnp.where(
+                (count == 2)[:, None], (aa + ab) / 2.0, aa
+            )
+            related = M.temporal_related_attn_batched(
+                mods["temporal"], mode, attn_mean, cfg.conv_temporal
+            ) * vmask_b                                     # [B, F]
+
+            ffw = mods["filterframe"]["attn_w"]
+            gkb = (va @ ffw[H:]
+                   + mods["filterframe"]["attn_b"]).astype(jnp.float32)
+
+            scal = jnp.stack([
+                perm, e1[perm], jnp.minimum(e2, 3)[perm], e2[perm],
+                instr["fa"][perm], instr["fb"][perm], instr["va"][perm],
+                instr["aa"][perm], is_filter[perm].astype(jnp.int32),
+                (op == int(Opcode.FILTERFRAME_V))[perm].astype(jnp.int32),
+            ])
+            feat, y, pooled_s, hasitem, exf = ES.fused_step(
+                scal, rv, rf, ra, related.astype(dt), vmask_b.astype(dt),
+                gkb, tables["w1u"], tables["b1u"], tables["w2u"],
+                tables["b2u"], tables["w2t"], tables["b2t"],
+                ffw[:H].astype(dt),
+                mods["temporal"]["ln"]["scale"][None].astype(dt),
+                mods["temporal"]["ln"]["bias"][None].astype(dt),
+                interpret=fuse_env == "interpret",
+            )
+
+            # Filter head dense3 on the sorted pooled rows.
+            e1s = e1[perm]
+            gs1 = jnp.bincount(e1, length=11).astype(jnp.int32)
+            n0 = jnp.sum(gs1[:4]).astype(jnp.int32)
+            n1 = jnp.sum(gs1[4:8]).astype(jnp.int32)
+            gs3 = jnp.stack([n0, n1, jnp.int32(B) - n0 - n1])
+            d3 = jnp.where(e1s < 4, 0, jnp.where(e1s < 8, 1, 2))
+            filter_vec = jax.nn.relu(
+                grouped(pooled_s, tables["dense3"], gs3) + tables["db3"][d3]
+            )[jnp.argsort(perm)]
+
+            # Localize / superlative heads on the kernel outputs.
+            vfeat = feat
+            pair = jnp.stack([va, vb], axis=1)
+            kw_pair = M.linear(mods["localize"]["k"], pair)
+            loc_scores = (jax.vmap(M.cosine_matrix)(kw_pair, vfeat)
+                          + 1.0) * 0.49 * vmask_b[:, None, :]
+            pair_mask = jnp.arange(2)[None, :] < count[:, None]
+
+            def superlative(scores, actions, amask, m, vm):
+                row = jnp.sum(scores * vm[:, None, :], axis=2)
+                wts = M.masked_softmax(row, amask, axis=1)
+                wts = jnp.where((m == 1)[:, None], 1.0 - wts, wts) * amask
+                pld = jnp.sum(wts[:, :, None] * actions, axis=1)
+                return jax.nn.relu(
+                    M.linear(mods["superlative"]["dense"], pld)
+                )
+
+            sup_v = superlative(loc_scores, pair, pair_mask, mode, vmask_b)
+
+            def supf_dense(take):
+                del take
+                fb_full = jnp.take_along_axis(
+                    rf, instr["fb"][:, None, None, None], axis=1
+                )[:, 0]
+                scores_f = (jax.vmap(M.cosine_matrix)(y, vfeat)
+                            + 1.0) * 0.49 * vmask_b[:, None, :]
+                return superlative(scores_f, fb_full, vmask_b > 0, mode,
+                                   vmask_b)
+
+            cap = max(min(B, 16), B // 8)
+            if cap >= B:
+                sup_f = supf_dense(None)
+            else:
+                def supf_sliced(take):
+                    fbc = rf[take, instr["fb"][take]]
+                    sc = (jax.vmap(M.cosine_matrix)(y[take], vfeat[take])
+                          + 1.0) * 0.49 * vmask_b[take][:, None, :]
+                    sf = superlative(
+                        sc, fbc, vmask_b[take] > 0, mode[take],
+                        vmask_b[take],
+                    )
+                    return jnp.zeros((B, H), sf.dtype).at[take].set(sf)
+
+                take = jnp.argsort(~is_supf)[:cap]
+                sup_f = jax.lax.cond(
+                    jnp.sum(is_supf) > cap, supf_dense, supf_sliced, take
+                )
+
+            return {
+                "filter_vec": filter_vec, "frames_all": y,
+                "loc_scores": loc_scores, "sup_v": sup_v, "sup_f": sup_f,
+                "temporal_rel": related, "hasitem": hasitem,
+                "existsframe": exf,
+            }
+
         batched_step = jax.vmap(
             step_one,
             in_axes=((0, 0, 0, 0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0),
@@ -628,10 +803,14 @@ class VideoNMN:
 
         def scan_body(regs, scanned):
             instr_t, t, aux_t = scanned
-            operands = read_operands(regs, instr_t)
-            heavy = heavy_stages(
-                regs, operands, instr_t, jax.random.fold_in(heavy_rng, t)
-            )
+            operands = read_operands(regs, instr_t, skip_fa=use_fused)
+            if use_fused:
+                heavy = heavy_fused(regs, operands, instr_t)
+            else:
+                heavy = heavy_stages(
+                    regs, operands, instr_t,
+                    jax.random.fold_in(heavy_rng, t),
+                )
             new_vec, new_frames, new_attn, new_attn_b = batched_step(
                 operands, instr_t, video_mask, token_features, token_mask,
                 example_rngs, t, aux_t, heavy,

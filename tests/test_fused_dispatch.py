@@ -291,3 +291,27 @@ def test_hasitem_matches_module_fn(setup):
     got = out["regs_attn"][0, hi.out_attn]
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pallas_step_full_forward_parity(monkeypatch):
+    """The fused Pallas executor step (deterministic path: in-kernel
+    operand gathers, stage-1/2 expert MLPs, epilogues, pooling, hasitem,
+    existsframe — ops/executor_step.py) must reproduce the XLA
+    ragged_dot path on a full forward, register files included."""
+    from stair_tpu.testing import workload
+
+    cfg = workload.workload_config(
+        hidden_size=128, video_size=32, max_video_length=16
+    )
+    model, params = workload.build_model(cfg)
+    batch = workload.make_batch(cfg, batch_size=12, seed=5)
+
+    monkeypatch.setenv("STAIR_FUSED_EXEC", "0")
+    ref = model.forward(params, batch, deterministic=True)
+    monkeypatch.setenv("STAIR_FUSED_EXEC", "interpret")
+    out = model.forward(params, batch, deterministic=True)
+    for key in ("logits", "regs_vec", "regs_frames", "regs_attn"):
+        np.testing.assert_allclose(
+            np.asarray(ref[key]), np.asarray(out[key]),
+            rtol=1e-5, atol=2e-5, err_msg=key,
+        )
