@@ -272,12 +272,32 @@ def bench_jax(num_questions: int, batch_size: int,
     t_2k = min(timed(2 * k, 3.0), timed(2 * k, 4.0))
     dev_step = max(t_2k - t_k, 1e-9) / k
     device_mfu = mfu_of(flops, dev_step)
+
+    # Serving request latency: dispatch + execute + fetch per batch, the
+    # end-to-end time a caller waits for answers (includes the tunnel
+    # round trip on this host — reported so the q/s number carries its
+    # tail). 20 fetch-terminated single-batch requests.
+    lat = []
+    for j in range(20):
+        req = dict(batch, video=batch["video"] + float(j % 5))
+        t0 = time.perf_counter()
+        if serving:
+            np.asarray(fwd(params, req))
+        else:
+            np.asarray(fwd_ids(params, table, ids0, req))
+        lat.append(time.perf_counter() - t0)
+    lat_arr = np.sort(np.asarray(lat))
+    lat_p50 = float(np.percentile(lat_arr, 50) * 1e3)
+    lat_p99 = float(np.percentile(lat_arr, 99) * 1e3)
+    log(f"{tag} request latency (batch of {batch_size}, incl. fetch): "
+        f"p50 {lat_p50:.1f} ms, p99 {lat_p99:.1f} ms")
     log(f"{tag} device fwd: {dev_step * 1e3:.2f} ms/batch of {batch_size}; "
         f"{format_mfu(flops, dev_step)}")
     return {
         "qps": qps, "questions": done, "elapsed": elapsed,
         "device_mfu": device_mfu, "device_step_ms": dev_step * 1e3,
         "device_flops_per_batch": flops,
+        "latency_p50_ms": lat_p50, "latency_p99_ms": lat_p99,
     }
 
 
@@ -395,6 +415,8 @@ def main():
             round(res["device_mfu"], 4) if res.get("device_mfu") else None
         ),
         "device_fwd_ms_per_batch": round(res["device_step_ms"], 2),
+        "serving_latency_p50_ms": round(serving["latency_p50_ms"], 1),
+        "serving_latency_p99_ms": round(serving["latency_p99_ms"], 1),
     }))
 
 

@@ -53,20 +53,25 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     vm = vm_ref[0, 0].astype(jnp.float32)                # [F]
 
     # ---- stage 1: expert two-layer MLP --------------------------------
-    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
-    h = jax.nn.relu(h + b1_ref[0, 0].astype(jnp.float32)).astype(dt)
-    h2 = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
-    h2 = h2 + b2_ref[0, 0].astype(jnp.float32)           # [F, H] f32
-    filt = s_ref[S_FILT, i] > 0
-    feat32 = jnp.where(filt, jax.nn.relu(h2), h2)
-    feat = feat32.astype(dt)
-    feat_ref[0] = feat
+    # Predicated: null-expert tiles (cheap vec/attn opcodes) skip all
+    # stage-1 work; their feat/pooled/has outputs are garbage that the
+    # opcode selects downstream never read (selects pick lanes, so
+    # stray NaNs cannot propagate across rows).
+    @pl.when(s_ref[S_E1, i] != 9)
+    def _stage1():
+        h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
+        h = jax.nn.relu(h + b1_ref[0, 0].astype(jnp.float32)).astype(dt)
+        h2 = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
+        h2 = h2 + b2_ref[0, 0].astype(jnp.float32)       # [F, H] f32
+        filt = s_ref[S_FILT, i] > 0
+        feat32 = jnp.where(filt, jax.nn.relu(h2), h2)
+        feat_ref[0] = feat32.astype(dt)
+        pooled_ref[0, 0] = jnp.sum(
+            feat32 * (vm * vm)[:, None], axis=0
+        ).astype(dt)
+        has_ref[0, 0] = (jax.nn.sigmoid(h2[:, 0]) * vm).astype(dt)
 
-    # ---- filter pool + hasitem head -----------------------------------
-    pooled_ref[0, 0] = jnp.sum(
-        feat.astype(jnp.float32) * (vm * vm)[:, None], axis=0
-    ).astype(dt)
-    has_ref[0, 0] = (jax.nn.sigmoid(h2[:, 0]) * vm).astype(dt)
+    feat = feat_ref[0]                                   # [F, H]
 
     # ---- existsframe cosine -------------------------------------------
     # Dynamic sublane indexing is unsupported in Mosaic; select the
@@ -92,36 +97,42 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     )                                                    # [F]
 
     # ---- stage 2 input select + projection + epilogue ------------------
+    # Predicated on a live stage-2 family (null tiles skip the matmul;
+    # attnvideo tiles skip it too — their output is just aa * fa).
     e2 = s_ref[S_E2, i]
-    rel = rel_ref[0, 0].astype(jnp.float32)
-    x2 = jnp.where(
-        e2 == E2_FF, gate[:, None] * feat.astype(jnp.float32),
-        jnp.where(
-            e2 == E2_TEMPORAL, rel[:, None] * xf,
-            jnp.where(e2 == E2_SUPF, fb_ref[0, 0].astype(jnp.float32), xf),
-        ),
-    ).astype(dt)
-    y2 = jnp.dot(x2, w2t_ref[0], preferred_element_type=jnp.float32)
-    y2 = y2 + b2t_ref[0, 0].astype(jnp.float32)          # [F, H] f32
 
-    relu_y = jax.nn.relu(y2)
-    mu = jnp.mean(relu_y, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(relu_y - mu), axis=-1, keepdims=True)
-    ln_y = ((relu_y - mu) * jax.lax.rsqrt(var + 1e-5)
-            * lns_ref[:].astype(jnp.float32)
-            + lnb_ref[:].astype(jnp.float32))
-    na = ra_ref.shape[1]
-    sel_a = (jax.lax.broadcasted_iota(jnp.int32, (na, 1), 0)
-             == s_ref[S_AA, i]).astype(jnp.float32)
-    aa = jnp.sum(ra_ref[0].astype(jnp.float32) * sel_a, axis=0)  # [F]
-    y = jnp.where(
-        e2 == E2_FF, relu_y * vm[:, None],
-        jnp.where(
-            e2 == E2_TEMPORAL, ln_y,
-            jnp.where(e2 == E2_ATTNVIDEO, aa[:, None] * xf, y2),
-        ),
-    )
-    y_ref[0] = y.astype(dt)
+    @pl.when((e2 != E2_NULL) & (e2 != E2_ATTNVIDEO))
+    def _stage2():
+        rel = rel_ref[0, 0].astype(jnp.float32)
+        x2 = jnp.where(
+            e2 == E2_FF, gate[:, None] * feat.astype(jnp.float32),
+            jnp.where(
+                e2 == E2_TEMPORAL, rel[:, None] * xf,
+                fb_ref[0, 0].astype(jnp.float32),
+            ),
+        ).astype(dt)
+        y2 = jnp.dot(x2, w2t_ref[0], preferred_element_type=jnp.float32)
+        y2 = y2 + b2t_ref[0, 0].astype(jnp.float32)      # [F, H] f32
+
+        relu_y = jax.nn.relu(y2)
+        mu = jnp.mean(relu_y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(relu_y - mu), axis=-1, keepdims=True)
+        ln_y = ((relu_y - mu) * jax.lax.rsqrt(var + 1e-5)
+                * lns_ref[:].astype(jnp.float32)
+                + lnb_ref[:].astype(jnp.float32))
+        y = jnp.where(
+            e2 == E2_FF, relu_y * vm[:, None],
+            jnp.where(e2 == E2_TEMPORAL, ln_y, y2),
+        )
+        y_ref[0] = y.astype(dt)
+
+    @pl.when(e2 == E2_ATTNVIDEO)
+    def _attnvideo():
+        na = ra_ref.shape[1]
+        sel_a = (jax.lax.broadcasted_iota(jnp.int32, (na, 1), 0)
+                 == s_ref[S_AA, i]).astype(jnp.float32)
+        aa = jnp.sum(ra_ref[0].astype(jnp.float32) * sel_a, axis=0)
+        y_ref[0] = (aa[:, None] * xf).astype(dt)
 
 
 def fused_step(scal, rv, rf, ra, related, vmask, gkb,

@@ -60,11 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient-accumulation", type=int, default=1,
                    help="kept for CLI compatibility; real batching via "
                         "--batch-size replaces accumulation-as-batching")
-    p.add_argument("--contrastive-window", type=int, default=0,
+    p.add_argument("--contrastive-window", type=int, default=32,
                    help="restrict contrastive negatives to classes within "
                         "each N-example group (parity with the reference's "
                         "32-step accumulation-window negatives, "
-                        "train_module.py:360-406); 0 = in-batch negatives")
+                        "train_module.py:360-406); 0 = in-batch negatives. "
+                        "Default 32: the round-3 study (9 retrains) showed "
+                        "window-32 beats in-batch on every split within "
+                        "every seed and closes ~2pp of the deep-program "
+                        "(more_steps) gap vs the reference")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--scheduler-start-factor", type=float, default=1.0)
