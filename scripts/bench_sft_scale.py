@@ -34,13 +34,19 @@ SIZES = {
 
 
 def mem_report(tag):
+    stats = None
     try:
         stats = jax.devices()[0].memory_stats()
-        used = stats.get("bytes_in_use", 0) / 2**30
-        peak = stats.get("peak_bytes_in_use", 0) / 2**30
-        print(f"{tag}: {used:.2f} GiB in use, {peak:.2f} GiB peak")
-    except Exception as err:
-        print(f"{tag}: memory stats unavailable ({err!r})")
+    except Exception:
+        pass
+    if not stats:
+        # The axon plugin exposes no memory_stats; feasibility is still
+        # demonstrated by the step executing (HBM OOM would abort).
+        print(f"{tag}: memory stats unavailable on this backend")
+        return
+    used = stats.get("bytes_in_use", 0) / 2**30
+    peak = stats.get("peak_bytes_in_use", 0) / 2**30
+    print(f"{tag}: {used:.2f} GiB in use, {peak:.2f} GiB peak")
 
 
 def main():
@@ -64,11 +70,14 @@ def main():
     cfg = VideoChatConfig(decoder=dec, vision=vis, max_temporal=100)
     model = VideoChatModel(cfg)
 
-    params = model.init(jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, params
-    )
+    # Init on host CPU: materializing f32 params on-device before the
+    # bf16 cast would need 2x the final footprint (OOMs the 3B config).
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params
+        )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     n_dec = sum(
         x.size for x in jax.tree_util.tree_leaves(params["decoder"])
@@ -105,8 +114,12 @@ def main():
         return (optax.apply_updates(params, updates), opt_state), loss
 
     K = args.iters
+    import functools
 
-    @jax.jit
+    # Donate params/opt_state: without donation two full copies of the
+    # parameter + optimizer buffers are live across the call (OOMs the
+    # 2B config on 16GB).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state):
         (params, opt_state), losses = jax.lax.scan(
             one, (params, opt_state), jnp.arange(K)
@@ -114,32 +127,31 @@ def main():
         return params, opt_state, losses
 
     t0 = time.perf_counter()
-    p2, o2, losses = run(params, opt_state)
+    params, opt_state, losses = run(params, opt_state)
     np.asarray(losses)  # fetch: block_until_ready unreliable over tunnel
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
           f"loss={float(losses[-1]):.3f}")
     mem_report("after first run")
 
     t0 = time.perf_counter()
-    p2, o2, losses = run(params, opt_state)
+    params, opt_state, losses = run(params, opt_state)
     np.asarray(losses)
     dt = (time.perf_counter() - t0) / K
 
-    # Analytic model FLOPs (the Pallas attention is invisible to XLA cost
-    # analysis): 6*P per token fwd+bwd + attention 12*B*L^2*d per layer,
-    # +fwd recompute under remat (~1/3 more on the matmul terms).
+    # Analytic MODEL FLOPs, 6*P*tokens + causal attention — the standard
+    # hardware-utilization denominator. Deliberately EXCLUDES remat
+    # recompute (reporting useful model FLOPs, not executed FLOPs), so
+    # this is the conservative MFU. XLA cost analysis is unreliable here
+    # (under-counts through the while loop and sees no Pallas flops).
     tokens = B * L
-    matmul = 6.0 * n_dec * tokens
-    attn = 12.0 * B * L * L * d * layers
-    remat_factor = 4.0 / 3.0 if dec.remat else 1.0
-    flops = (matmul + attn) * remat_factor
+    flops = 6.0 * n_dec * tokens + 12.0 * B * L * L * d * layers
     from stair_tpu.utils.mfu import chip_peak_flops
 
     peak = chip_peak_flops() or float("nan")
     print(f"SFT step {args.size} B={B} L={L}: {dt*1e3:.1f} ms/step "
-          f"({tokens/dt:.0f} tok/s), analytic {flops/dt/1e12:.1f} TFLOP/s "
+          f"({tokens/dt:.0f} tok/s), model {flops/dt/1e12:.1f} TFLOP/s "
           f"= {flops/dt/peak*100:.1f}% MFU "
-          f"(incl. remat recompute), loss={float(losses[-1]):.3f}")
+          f"(excl. remat recompute), loss={float(losses[-1]):.3f}")
     mem_report("steady state")
 
 

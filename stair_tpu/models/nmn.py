@@ -522,7 +522,7 @@ class VideoNMN:
             gate = jnp.where(
                 (op_s == int(Opcode.FILTERFRAME_V))[:, None, None], gate, 1.0
             )
-            x_ff_s = gate * feat_s                          # stays sorted
+            x_ff = (gate * feat_s)[inv1]
 
             # ---- temporal gated attention (banded-matmul convs) ----------
             attn_mean = jnp.where((count == 2)[:, None], (aa + ab) / 2.0, aa)
@@ -532,36 +532,27 @@ class VideoNMN:
 
             # ---- stage 2: output projections -----------------------------
             # experts: [ff.dense | temporal.dense | localize.k | null].
-            # Built in the perm1-SORTED domain and re-sorted by composing
-            # permutations: unsorting x_ff to build x2 and re-sorting for
-            # the grouped matmul cost two extra [B, F, H] HBM streams per
-            # step. Only the final y2 is unsorted, once.
+            # (A sorted-domain permutation-composition variant was
+            # measured and REJECTED for this path: it saves eval streams
+            # but its extra gathers cost ~1.3 ms/step in the backward,
+            # and eval now runs the fused Pallas kernel instead.)
             e2 = jnp.where(
                 is_ff, 0,
                 jnp.where(is_temporal, 1, jnp.where(is_supf, 2, 3)),
             )
-            e2_s = e2[perm1]
-            is_ff_s = is_ff[perm1]
-            is_temporal_s = is_temporal[perm1]
-            is_supf_s = is_supf[perm1]
-            related_s = related[perm1]
-            fb_s = fb[perm1]
-            x2_s = jnp.where(
-                is_ff_s[:, None, None], x_ff_s,
+            x2 = jnp.where(
+                is_ff[:, None, None], x_ff,
                 jnp.where(
-                    is_temporal_s[:, None, None],
-                    related_s[:, :, None] * fa_s,
-                    jnp.where(is_supf_s[:, None, None], fb_s, fa_s),
+                    is_temporal[:, None, None], related[:, :, None] * fa,
+                    jnp.where(is_supf[:, None, None], fb, fa),
                 ),
             )
-            perm21 = jnp.argsort(e2_s)
-            composed = perm1[perm21]        # x2_s[perm21] == x2[composed]
-            inv2 = jnp.argsort(composed)
+            perm2 = jnp.argsort(e2)
+            inv2 = jnp.argsort(perm2)
             gs2 = jnp.bincount(e2, length=4).astype(jnp.int32)
             y2 = (grouped(
-                x2_s[perm21].reshape(B * F, H), tables["w2t"], gs2 * F
-            ).reshape(B, F, H)
-                + tables["b2t"][e2[composed]][:, None, :])[inv2]
+                x2[perm2].reshape(B * F, H), tables["w2t"], gs2 * F
+            ).reshape(B, F, H) + tables["b2t"][e2[perm2]][:, None, :])[inv2]
             # Shared relu+dropout epilogue (rows are ff XOR temporal);
             # localize.k output (kw_f) stays linear.
             base = M.dropout(jax.nn.relu(y2), rate, rngs[2], deterministic)
@@ -599,8 +590,12 @@ class VideoNMN:
                             + 1.0) * 0.49 * vmask_b[:, None, :]  # [B, F, F]
                 return superlative(scores_f, fb, vmask_b > 0, mode, vmask_b)
 
+            # Capacity slicing pays in eval; in training the cond +
+            # slice backward (scatter) measured slower than the dense
+            # form (31.6 vs 28.3 ms/step at B=128), so it is
+            # deterministic-only.
             cap = max(min(B, 16), B // 8)
-            if cap >= B:
+            if cap >= B or not deterministic:
                 sup_f = supf_dense(None)
             else:
                 def supf_sliced(take):
