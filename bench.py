@@ -334,7 +334,7 @@ def bench_jax(num_questions: int, batch_size: int,
     log(f"{tag} request latency (batch of {batch_size}, incl. fetch): "
         f"p50 {lat_p50:.1f} ms, p99 {lat_p99:.1f} ms")
     log(f"{tag} device fwd: {dev_step * 1e3:.2f} ms/batch of {batch_size}; "
-        f"{format_mfu(flops, dev_step)}")
+        f"{format_mfu(flops_a, dev_step)}")
     return {
         "qps": qps, "questions": done, "elapsed": elapsed,
         "device_mfu": device_mfu, "device_step_ms": dev_step * 1e3,
