@@ -316,12 +316,13 @@ class VideoNMN:
             if "frames_all" in heavy:
                 # Fused-kernel mode: every frames-producing family's output
                 # already sits in one buffer with the right per-row
-                # epilogue applied.
-                frames_cands = [
-                    (code, heavy["frames_all"])
-                    for code in (Opcode.TEMPORAL, Opcode.ATTNVIDEO,
-                                 Opcode.FILTERFRAME_V, Opcode.FILTERFRAME_K)
-                ]
+                # epilogue applied. Rows whose opcode produces no frames
+                # carry kernel garbage — the lowering targets those writes
+                # at the scratch slot (never an operand; ``Trace.
+                # field_matrix`` sets OUT_FRAMES=_SCRATCH), which the scan
+                # epilogue re-zeroes, so the [B, F, H] zero-select stream
+                # (~0.1 ms/step at B=1024) is skipped entirely.
+                new_frames = heavy["frames_all"]
             else:
                 frames_cands = [
                     (Opcode.TEMPORAL, heavy["temporal_out"]),
@@ -329,7 +330,7 @@ class VideoNMN:
                     (Opcode.FILTERFRAME_V, heavy["ff_frames"]),
                     (Opcode.FILTERFRAME_K, heavy["ff_frames"]),
                 ]
-            new_frames = _select(op, frames_cands, jnp.zeros((F, H), dt))
+                new_frames = _select(op, frames_cands, jnp.zeros((F, H), dt))
 
             # --- attn candidates ------------------------------------------
             attn_cands = [
@@ -713,14 +714,17 @@ class VideoNMN:
                 instr["fa"][perm], instr["fb"][perm], instr["va"][perm],
                 instr["aa"][perm], is_filter[perm].astype(jnp.int32),
                 (op == int(Opcode.FILTERFRAME_V))[perm].astype(jnp.int32),
+                instr["vb"][perm],
             ])
-            feat, y, pooled_s, hasitem, exf = ES.fused_step(
+            feat, y, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
                 scal, rv, rf, ra, related.astype(dt), vmask_b.astype(dt),
                 gkb, tables["w1u"], tables["b1u"], tables["w2u"],
                 tables["b2u"], tables["w2t"], tables["b2t"],
                 ffw[:H].astype(dt),
                 mods["temporal"]["ln"]["scale"][None].astype(dt),
                 mods["temporal"]["ln"]["bias"][None].astype(dt),
+                mods["localize"]["k"]["w"].astype(dt),
+                mods["localize"]["k"]["b"][None].astype(dt),
                 interpret=fuse_env == "interpret",
             )
 
@@ -735,12 +739,12 @@ class VideoNMN:
                 grouped(pooled_s, tables["dense3"], gs3) + tables["db3"][d3]
             )[jnp.argsort(perm)]
 
-            # Localize / superlative heads on the kernel outputs.
+            # Localize / superlative heads. The cosine scores come out of
+            # the kernel (feat stays in VMEM there); only the tiny [B, 2]
+            # softmax blend remains in XLA.
             vfeat = feat
             pair = jnp.stack([va, vb], axis=1)
-            kw_pair = M.linear(mods["localize"]["k"], pair)
-            loc_scores = (jax.vmap(M.cosine_matrix)(kw_pair, vfeat)
-                          + 1.0) * 0.49 * vmask_b[:, None, :]
+            loc_scores = jnp.stack([loc_a, loc_b], axis=1)   # [B, 2, F]
             pair_mask = jnp.arange(2)[None, :] < count[:, None]
 
             def superlative(scores, actions, amask, m, vm):
@@ -856,8 +860,17 @@ class VideoNMN:
             scan_body_used, (rv0, rf0, ra0),
             ((scanned_fields, jnp.arange(T), aux_scanned)),
         )
-        if dt != jnp.float32:
-            rv, rf, ra = (x.astype(jnp.float32) for x in (rv, rf, ra))
+        if use_fused:
+            # Fused mode skips the frames zero-select: non-frames opcodes
+            # scatter kernel garbage into the scratch slot (index
+            # cfg.num_frames, never read as an operand). Restore the
+            # all-zero scratch invariant once, after the scan.
+            rf = rf.at[:, cfg.num_frames].set(0.0)
+        # Returned in compute dtype; ``forward`` upcasts the full files
+        # only for its audit outputs (so a logits-only jit DCEs the
+        # [B, N, F, H]-sized f32 casts — ~3 ms/batch at B=1024) and the
+        # root row is upcast after the gather (bitwise identical: the
+        # gather and the exact bf16->f32 widening commute).
         return rv, rf, ra
 
     # -- full forward --------------------------------------------------------
@@ -911,16 +924,22 @@ class VideoNMN:
         )
 
         B = rv.shape[0]
-        root_vec = rv[jnp.arange(B), batch["root_reg"]]
+        root_vec = rv[jnp.arange(B), batch["root_reg"]].astype(jnp.float32)
         # Non-vec roots (not produced by valid AGQA programs): masked mean of
         # the root frames register, so the graph stays total.
-        root_frames = rf[jnp.arange(B), jnp.minimum(batch["root_reg"], cfg.num_frames)]
+        root_frames = rf[
+            jnp.arange(B), jnp.minimum(batch["root_reg"], cfg.num_frames)
+        ].astype(jnp.float32)
         fallback = jnp.sum(
             root_frames * batch["video_mask"][:, :, None], axis=1
         ) / jnp.maximum(
             jnp.sum(batch["video_mask"], axis=1, keepdims=True), 1.0
         )
         root = jnp.where(batch["root_is_vec"][:, None], root_vec, fallback)
+        if rv.dtype != jnp.float32:
+            # Audit/supervision outputs stay f32 (losses and parity tests
+            # consume them); a logits-only consumer DCEs these casts.
+            rv, rf, ra = (x.astype(jnp.float32) for x in (rv, rf, ra))
 
         hidden = jnp.concatenate([root, question_feature], axis=-1)
         h = jax.nn.relu(M.linear(params["decoder"]["l1"], hidden))

@@ -36,8 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Packed scalar-prefetch rows (one [NS, B] int32 array).
-S_PERM, S_E1, S_W2T, S_E2, S_FA, S_FB, S_VA, S_AA, S_FILT, S_FFV = range(10)
-NS = 10
+(S_PERM, S_E1, S_W2T, S_E2, S_FA, S_FB, S_VA, S_AA, S_FILT, S_FFV,
+ S_VB) = range(11)
+NS = 11
 
 # e2 codes (stage-2 family): ff, temporal, supf(loc.k), null, attnvideo.
 E2_FF, E2_TEMPORAL, E2_SUPF, E2_NULL, E2_ATTNVIDEO = range(5)
@@ -45,8 +46,9 @@ E2_FF, E2_TEMPORAL, E2_SUPF, E2_NULL, E2_ATTNVIDEO = range(5)
 
 def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
                  gkb_ref, w1_ref, b1_ref, w2_ref, b2_ref, w2t_ref, b2t_ref,
-                 ffwf_ref, lns_ref, lnb_ref,
-                 feat_ref, y_ref, pooled_ref, has_ref, exf_ref):
+                 ffwf_ref, lns_ref, lnb_ref, wk_ref, bk_ref,
+                 feat_ref, y_ref, pooled_ref, has_ref, exf_ref,
+                 loca_ref, locb_ref):
     i = pl.program_id(0)
     dt = fa_ref.dtype
     x = fa_ref[0, 0]                                     # [F, H]
@@ -86,6 +88,32 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     nv = jnp.sqrt(jnp.maximum(jnp.sum(va * va), 1e-30))
     cos = dot / jnp.maximum(nx * nv, 1e-8)
     exf_ref[0, 0] = ((cos + 1.0) * 0.49 * vm).astype(dt)
+
+    # ---- localize scores (locsup tiles only): cosine of the projected
+    # features vs both keyword operands. feat is already resident in VMEM
+    # here — computing the scores in-kernel replaced two full [B, F, H]
+    # XLA re-reads of the feat output per step (profiled ~0.18 ms/step at
+    # B=1024). Numerics mirror models/modules.py cosine_matrix +
+    # M.linear(localize.k): bf16 kw round trip, f32 norms, COS_EPS clamp.
+    @pl.when(s_ref[S_E1, i] == 8)
+    def _localize():
+        featf = feat_ref[0].astype(jnp.float32)
+        nf = jnp.sqrt(jnp.maximum(jnp.sum(featf * featf, axis=1), 1e-30))
+        nvec = rv_ref.shape[1]
+        for s_row, out_ref in ((S_VA, loca_ref), (S_VB, locb_ref)):
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (nvec, 1), 0)
+                   == s_ref[s_row, i]).astype(jnp.float32)
+            v = jnp.sum(rv_ref[0].astype(jnp.float32) * sel, axis=0)
+            kw = (jnp.dot(v.astype(dt)[None, :], wk_ref[...],
+                          preferred_element_type=jnp.float32).astype(dt)
+                  + bk_ref[0])                               # [1, H] dt
+            kw32 = kw.astype(jnp.float32)[0]
+            nk = jnp.sqrt(jnp.maximum(jnp.sum(kw32 * kw32), 1e-30))
+            dots = jnp.dot(featf, kw32[:, None],
+                           preferred_element_type=jnp.float32)[:, 0]
+            cos_k = (dots / jnp.maximum(nf * nk, 1e-8)).astype(dt)
+            out_ref[0, 0] = (((cos_k + 1.0) * 0.49).astype(jnp.float32)
+                             * vm).astype(out_ref.dtype)
 
     # ---- FilterFrame gate (keyword half precomputed in XLA: gkb =
     # va @ attn_w[H:] + attn_b, a [B]-cheap matvec) ----------------------
@@ -137,18 +165,22 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
 
 def fused_step(scal, rv, rf, ra, related, vmask, gkb,
                w1u, b1u, w2u, b2u, w2t, b2t, ffwf, ln_scale, ln_bias,
-               interpret=False):
+               loc_kw, loc_kb, interpret=False):
     """Run the fused per-step kernel over an expert-sorted batch.
 
     scal [NS, B] int32 (see S_* rows; S_PERM must be expert-sorted so
     equal-expert tiles are consecutive). rv [B, Nv, H], rf [B, Nf, F, H],
     ra [B, Na, F]; related/vmask [B, F] and gkb [B, 1] (unsorted — the
     kernel permutes via index maps). Weights: w1u/w2u [G, H, H],
-    b1u/b2u [G, H], w2t [4, H, H], b2t [4, H], ffwf [H, 1], ln_* [1, H].
+    b1u/b2u [G, H], w2t [4, H, H], b2t [4, H], ffwf [H, 1], ln_* [1, H],
+    loc_kw [H, H] + loc_kb [1, H] (the localize keyword projection).
 
-    Returns (feat, y, pooled_sorted, hasitem, existsframe): feat/y
-    [B, F, H] and hasitem/existsframe [B, F] in UNSORTED example order;
-    pooled [B, H] in sorted order (consumed by the grouped dense3).
+    Returns (feat, y, pooled_sorted, hasitem, existsframe, loc_a, loc_b):
+    feat/y [B, F, H], hasitem/existsframe [B, F], and loc_a/loc_b [B, F]
+    f32 localize cosine scores (va/vb keyword rows; garbage on
+    non-locsup tiles, discarded by the executor's opcode selects) in
+    UNSORTED example order; pooled [B, H] in sorted order (consumed by
+    the grouped dense3).
     """
     B, Nf, F, H = rf.shape
     Nv = rv.shape[1]
@@ -210,6 +242,8 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ffwf [H, 1]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ln scale [1, H]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ln bias [1, H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # loc kw w [H, H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # loc kw b [1, H]
         ],
         out_specs=[
             pl.BlockSpec((1, F, H), im(S_PERM, "z", "z"),
@@ -222,9 +256,13 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
                          memory_space=pltpu.VMEM),      # hasitem
             pl.BlockSpec((1, 1, F), im(S_PERM, "z", "z"),
                          memory_space=pltpu.VMEM),      # existsframe
+            pl.BlockSpec((1, 1, F), im(S_PERM, "z", "z"),
+                         memory_space=pltpu.VMEM),      # loc_a
+            pl.BlockSpec((1, 1, F), im(S_PERM, "z", "z"),
+                         memory_space=pltpu.VMEM),      # loc_b
         ],
     )
-    feat, y, pooled, has, exf = pl.pallas_call(
+    feat, y, pooled, has, exf, loca, locb = pl.pallas_call(
         _step_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -233,8 +271,12 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
             jax.ShapeDtypeStruct((B, 1, H), dt),
             jax.ShapeDtypeStruct((B, 1, F), dt),
             jax.ShapeDtypeStruct((B, 1, F), dt),
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
         ],
         interpret=interpret,
     )(scal.astype(jnp.int32), rf, rf, rv, ra, related3, vmask3, gkb3,
-      w1u, b1u3, w2u, b2u3, w2t, b2t3, ffwf, ln_scale, ln_bias)
-    return feat, y, pooled[:, 0], has[:, 0], exf[:, 0]
+      w1u, b1u3, w2u, b2u3, w2t, b2t3, ffwf, ln_scale, ln_bias,
+      loc_kw, loc_kb)
+    return (feat, y, pooled[:, 0], has[:, 0], exf[:, 0],
+            loca[:, 0], locb[:, 0])
