@@ -251,15 +251,39 @@ class VideoNMN:
             video_mask = video_mask.astype(dt)
         tables = self._fused_tables(mods)
 
+        is_parity = cfg.filter_attention == "parity"
+
+        # Fused Pallas executor step (deterministic/eval only) — decided
+        # up front because it changes the frames register-file LAYOUT:
+        # STAIR_FUSED_EXEC: auto (on for TPU lowering), 0 (off),
+        # interpret (CPU interpreter, for parity tests).
+        fuse_env = _os.environ.get("STAIR_FUSED_EXEC", "auto")
+        _default_dev = getattr(jax.config, "jax_default_device", None)
+        use_fused = (
+            deterministic and is_parity and not _ABLATE
+            and fuse_env != "0"
+            and (
+                fuse_env == "interpret"
+                or (jax.default_backend() != "cpu"
+                    and getattr(_default_dev, "platform", None) != "cpu")
+            )
+        )
+
         # Initial register files: frames register 0 <- encoded video.
+        # (A slot-per-step frames layout — T+2 slots, batch-uniform
+        # dynamic_update_slice writes, last-writer id remap — was built
+        # and measured-and-rejected: the select-blend write it removes
+        # is NOT on the scan's critical path, and through the axon
+        # tunnel every ~70 MB of extra per-call scratch costs ~0.5 s of
+        # WALL time per execution (940 MB file -> 6.5 s/call at B=1024,
+        # device time unchanged at ~33 ms), dwarfing the ~2 ms of HBM
+        # traffic saved.)
         rv0 = jnp.zeros((B, cfg.num_vec + 1, H), dt)
         rf0 = jnp.zeros((B, cfg.num_frames + 1, F, H), dt)
         rf0 = rf0.at[:, 0].set(video_frames * video_mask[:, :, None])
         ra0 = jnp.zeros((B, cfg.num_attn + 1, F), dt)
 
-        is_parity = cfg.filter_attention == "parity"
-
-        def step_one(operands, instr, vmask, tokens, tmask, ex_rng,
+        def step_one(mods, operands, instr, vmask, tokens, tmask, ex_rng,
                      step_idx, aux, heavy):
             """One instruction on one example (vmapped over the batch).
 
@@ -276,7 +300,7 @@ class VideoNMN:
             srng = jax.random.fold_in(ex_rng, step_idx)
             rngs = jax.random.split(srng, 5)
 
-            va, vb, vc, fa, aa, ab = operands
+            va, vb, vc, fa, _fb, aa, ab = operands
             mode = instr["mode"]
 
             # --- span-mean text push --------------------------------------
@@ -396,16 +420,19 @@ class VideoNMN:
 
         def read_operands(regs, instr, skip_fa=False):
             rv, rf, ra = regs
-            # Fused-kernel mode gathers fa inside the kernel via index
-            # maps; the XLA-side operand is only consumed by candidates
-            # that don't exist there, so a zeros placeholder is DCE'd.
-            fa = (
-                jnp.zeros(rf.shape[:1] + rf.shape[2:], rf.dtype)
-                if skip_fa else reg_read(rf, instr["fa"])
-            )
+            # Fused-kernel mode gathers fa/fb inside the kernel via index
+            # maps; the XLA-side operands are only consumed by candidates
+            # that don't exist there, so zeros placeholders are DCE'd.
+            if skip_fa:
+                fa = fb = jnp.zeros(
+                    rf.shape[:1] + rf.shape[2:], rf.dtype
+                )
+            else:
+                fa = reg_read(rf, instr["fa"])
+                fb = reg_read(rf, instr["fb"])
             return (
                 reg_read(rv, instr["va"]), reg_read(rv, instr["vb"]),
-                reg_read(rv, instr["vc"]), fa,
+                reg_read(rv, instr["vc"]), fa, fb,
                 reg_read(ra, instr["aa"]), reg_read(ra, instr["ab"]),
             )
 
@@ -417,7 +444,7 @@ class VideoNMN:
                 x, table, groups, preferred_element_type=dt
             )
 
-        def heavy_stages(regs, operands, instr, srng):
+        def heavy_stages(operands, instr, srng, mods, tables, vmask_b):
             """All [F, H]-matmul module families for the whole batch as
             expert-grouped ``ragged_dot`` stages (see ``_fused_tables``).
 
@@ -428,13 +455,16 @@ class VideoNMN:
             expert. Garbage rows (an example's unused family outputs) are
             discarded by ``step_one``'s opcode selection, exactly as in the
             compute-all design.
+
+            Every traced value arrives through the arguments (operands
+            carry fb too) — the reversible path replays this function
+            under ``jax.vjp`` inside a deferred backward trace, where a
+            closure over an outer-trace tracer would leak.
             """
-            _, rf, _ = regs
             op = instr["opcode"]
             mode = instr["mode"]
             count = instr["count"]
-            va, vb, _vc, fa, aa, ab = operands
-            fb = reg_read(rf, instr["fb"])                 # [B, F, H]
+            va, vb, _vc, fa, fb, aa, ab = operands
 
             is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
                 op == int(Opcode.FILTERFRAME_K)
@@ -635,69 +665,17 @@ class VideoNMN:
                 heavy["temporal_rel"] = jnp.zeros((B, F), dt)
             return heavy
 
-        # Fused Pallas executor step (deterministic/eval only): the per-
-        # step kernel gathers operands straight from the register files
-        # via scalar-prefetched index maps and applies every [F, H]-level
-        # family with its epilogue in VMEM — see ops/executor_step.py.
-        # STAIR_FUSED_EXEC: auto (on for TPU lowering), 0 (off),
-        # interpret (CPU interpreter, for parity tests).
-        fuse_env = _os.environ.get("STAIR_FUSED_EXEC", "auto")
-        _default_dev = getattr(jax.config, "jax_default_device", None)
-        use_fused = (
-            deterministic and is_parity and not _ABLATE
-            and fuse_env != "0"
-            and (
-                fuse_env == "interpret"
-                or (jax.default_backend() != "cpu"
-                    and getattr(_default_dev, "platform", None) != "cpu")
-            )
-        )
-
-        def heavy_fused(regs, operands, instr):
+        def heavy_fused(regs, operands, instr, sched):
             from stair_tpu.ops import executor_step as ES
 
             rv, rf, ra = regs
-            op = instr["opcode"]
             mode = instr["mode"]
             count = instr["count"]
-            va, vb, _vc, _fa, aa, ab = operands
+            va, vb, _vc, _fa, _fb, aa, ab = operands
 
-            is_ff = (op == int(Opcode.FILTERFRAME_V)) | (
-                op == int(Opcode.FILTERFRAME_K)
-            )
-            is_filter = is_ff | (op == int(Opcode.FILTER_V)) | (
-                op == int(Opcode.FILTER_K)
-            )
-            is_kw = (op == int(Opcode.FILTER_K)) | (
-                op == int(Opcode.FILTERFRAME_K)
-            )
-            is_supf = op == int(Opcode.SUPERLATIVE_F)
-            is_locsup = (
-                (op == int(Opcode.LOCALIZE))
-                | (op == int(Opcode.SUPERLATIVE_V)) | is_supf
-            )
-            is_hasitem = op == int(Opcode.HASITEM)
-            is_temporal = op == int(Opcode.TEMPORAL)
-            is_attnvideo = op == int(Opcode.ATTNVIDEO)
-
-            e1 = jnp.where(
-                is_filter,
-                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + mode, 0),
-                jnp.where(is_locsup, 8, jnp.where(is_hasitem, 10, 9)),
-            )
-            e2 = jnp.where(
-                is_ff, ES.E2_FF,
-                jnp.where(
-                    is_temporal, ES.E2_TEMPORAL,
-                    jnp.where(
-                        is_supf, ES.E2_SUPF,
-                        jnp.where(is_attnvideo, ES.E2_ATTNVIDEO,
-                                  ES.E2_NULL),
-                    ),
-                ),
-            )
-            perm = jnp.argsort(e1 * 5 + e2)
-
+            # The dispatch schedule (expert sort, scalar rows, group
+            # sizes) is precomputed for all steps before the scan; only
+            # the register-value-dependent inputs remain per step.
             attn_mean = jnp.where(
                 (count == 2)[:, None], (aa + ab) / 2.0, aa
             )
@@ -709,15 +687,9 @@ class VideoNMN:
             gkb = (va @ ffw[H:]
                    + mods["filterframe"]["attn_b"]).astype(jnp.float32)
 
-            scal = jnp.stack([
-                perm, e1[perm], jnp.minimum(e2, 3)[perm], e2[perm],
-                instr["fa"][perm], instr["fb"][perm], instr["va"][perm],
-                instr["aa"][perm], is_filter[perm].astype(jnp.int32),
-                (op == int(Opcode.FILTERFRAME_V))[perm].astype(jnp.int32),
-                instr["vb"][perm],
-            ])
             feat, y, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
-                scal, rv, rf, ra, related.astype(dt), vmask_b.astype(dt),
+                sched["scal"], rv, rf, ra, related.astype(dt),
+                vmask_b.astype(dt),
                 gkb, tables["w1u"], tables["b1u"], tables["w2u"],
                 tables["b2u"], tables["w2t"], tables["b2t"],
                 ffw[:H].astype(dt),
@@ -729,15 +701,10 @@ class VideoNMN:
             )
 
             # Filter head dense3 on the sorted pooled rows.
-            e1s = e1[perm]
-            gs1 = jnp.bincount(e1, length=11).astype(jnp.int32)
-            n0 = jnp.sum(gs1[:4]).astype(jnp.int32)
-            n1 = jnp.sum(gs1[4:8]).astype(jnp.int32)
-            gs3 = jnp.stack([n0, n1, jnp.int32(B) - n0 - n1])
-            d3 = jnp.where(e1s < 4, 0, jnp.where(e1s < 8, 1, 2))
             filter_vec = jax.nn.relu(
-                grouped(pooled_s, tables["dense3"], gs3) + tables["db3"][d3]
-            )[jnp.argsort(perm)]
+                grouped(pooled_s, tables["dense3"], sched["gs3"])
+                + tables["db3"][sched["d3"]]
+            )[sched["inv"]]
 
             # Localize / superlative heads. The cosine scores come out of
             # the kernel (feat stays in VMEM there); only the tiny [B, 2]
@@ -782,9 +749,9 @@ class VideoNMN:
                     )
                     return jnp.zeros((B, H), sf.dtype).at[take].set(sf)
 
-                take = jnp.argsort(~is_supf)[:cap]
                 sup_f = jax.lax.cond(
-                    jnp.sum(is_supf) > cap, supf_dense, supf_sliced, take
+                    sched["nsup"] > cap, supf_dense, supf_sliced,
+                    sched["take"],
                 )
 
             return {
@@ -796,23 +763,24 @@ class VideoNMN:
 
         batched_step = jax.vmap(
             step_one,
-            in_axes=((0, 0, 0, 0, 0, 0), 0, 0, 0, 0, 0, None, 0, 0),
+            in_axes=(None, (0,) * 7, 0, 0, 0, 0, 0, None, 0, 0),
         )
         heavy_rng = jax.random.fold_in(rng, 0x5f17)
 
         def scan_body(regs, scanned):
-            instr_t, t, aux_t = scanned
+            instr_t, t, aux_t, sched_t = scanned
             operands = read_operands(regs, instr_t, skip_fa=use_fused)
             if use_fused:
-                heavy = heavy_fused(regs, operands, instr_t)
+                heavy = heavy_fused(regs, operands, instr_t, sched_t)
             else:
                 heavy = heavy_stages(
-                    regs, operands, instr_t,
+                    operands, instr_t,
                     jax.random.fold_in(heavy_rng, t),
+                    mods, tables, vmask_b,
                 )
             new_vec, new_frames, new_attn, new_attn_b = batched_step(
-                operands, instr_t, video_mask, token_features, token_mask,
-                example_rngs, t, aux_t, heavy,
+                mods, operands, instr_t, video_mask, token_features,
+                token_mask, example_rngs, t, aux_t, heavy,
             )
             rv, rf, ra = regs
             rv = reg_write(rv, instr_t["out_vec"], new_vec)
@@ -852,14 +820,129 @@ class VideoNMN:
         scanned_fields = jax.tree_util.tree_map(
             lambda a: jnp.moveaxis(a, 1, 0), trace_fields
         )  # [T, B]
+        if use_fused:
+            # Precompute the per-step dispatch schedule — expert codes,
+            # sort permutation, scalar-prefetch rows, ragged-dot group
+            # sizes, superlative-F capacity slice — for ALL steps at
+            # once. Every piece depends only on the (static per batch)
+            # trace fields; computing them inside the scan put a [B]
+            # argsort plus ~10 gathers on each step's critical path
+            # ahead of the kernel's scalar prefetch, serial latency the
+            # register streams were hiding behind.
+            from stair_tpu.ops import executor_step as ES
+
+            opT = scanned_fields["opcode"]                 # [T, B]
+            modeT = scanned_fields["mode"]
+            is_ff = (opT == int(Opcode.FILTERFRAME_V)) | (
+                opT == int(Opcode.FILTERFRAME_K))
+            is_filter = is_ff | (opT == int(Opcode.FILTER_V)) | (
+                opT == int(Opcode.FILTER_K))
+            is_kw = (opT == int(Opcode.FILTER_K)) | (
+                opT == int(Opcode.FILTERFRAME_K))
+            is_supf = opT == int(Opcode.SUPERLATIVE_F)
+            is_locsup = ((opT == int(Opcode.LOCALIZE))
+                         | (opT == int(Opcode.SUPERLATIVE_V)) | is_supf)
+            e1 = jnp.where(
+                is_filter,
+                jnp.where(is_ff, 4, 0) + jnp.where(is_kw, 1 + modeT, 0),
+                jnp.where(
+                    is_locsup, 8,
+                    jnp.where(opT == int(Opcode.HASITEM), 10, 9),
+                ),
+            )
+            e2 = jnp.where(
+                is_ff, ES.E2_FF,
+                jnp.where(
+                    opT == int(Opcode.TEMPORAL), ES.E2_TEMPORAL,
+                    jnp.where(
+                        is_supf, ES.E2_SUPF,
+                        jnp.where(opT == int(Opcode.ATTNVIDEO),
+                                  ES.E2_ATTNVIDEO, ES.E2_NULL),
+                    ),
+                ),
+            )
+            perm = jnp.argsort(e1 * 5 + e2, axis=1)        # [T, B]
+
+            def _g(a):
+                return jnp.take_along_axis(a, perm, axis=1)
+
+            scal_all = jnp.stack([
+                perm, _g(e1), _g(jnp.minimum(e2, 3)), _g(e2),
+                _g(scanned_fields["fa"]), _g(scanned_fields["fb"]),
+                _g(scanned_fields["va"]), _g(scanned_fields["aa"]),
+                _g(is_filter.astype(jnp.int32)),
+                _g((opT == int(Opcode.FILTERFRAME_V)).astype(jnp.int32)),
+                _g(scanned_fields["vb"]),
+            ], axis=1).astype(jnp.int32)                   # [T, NS, B]
+            counts = jnp.sum(
+                jax.nn.one_hot(e1, 11, dtype=jnp.int32), axis=1
+            )                                              # [T, 11]
+            n0 = jnp.sum(counts[:, :4], axis=1)
+            n1 = jnp.sum(counts[:, 4:8], axis=1)
+            e1s = _g(e1)
+            sched = {
+                "scal": scal_all,
+                "gs3": jnp.stack(
+                    [n0, n1, jnp.int32(B) - n0 - n1], axis=1
+                ),                                         # [T, 3]
+                "d3": jnp.where(e1s < 4, 0, jnp.where(e1s < 8, 1, 2)),
+                "inv": jnp.argsort(perm, axis=1),
+                "take": jnp.argsort(
+                    ~is_supf, axis=1
+                )[:, :max(min(B, 16), B // 8)],
+                "nsup": jnp.sum(is_supf.astype(jnp.int32), axis=1),
+            }
+        else:
+            sched = {}
         if aux_vec is None:
             aux_scanned = jnp.zeros((T, B, H), dt)
         else:
             aux_scanned = jnp.moveaxis(aux_vec.astype(dt), 1, 0)
-        (rv, rf, ra), _ = jax.lax.scan(
-            scan_body_used, (rv0, rf0, ra0),
-            ((scanned_fields, jnp.arange(T), aux_scanned)),
+        # Reversible training executor (see rev_exec.py): the registers
+        # are SSA, so the backward reconstructs each step's input files by
+        # re-zeroing the written slots — no stacked carries/residuals, and
+        # slice-sized gather/scatter register traffic in both directions
+        # (the one-hot reg_read/reg_write above exist precisely because
+        # plain autodiff transposes gathers into slow TPU scatter-adds).
+        # STAIR_REV: 0 (default: autodiff scan), any other value enables.
+        # Opt-in until it beats the autodiff scan on TPU: gradients are
+        # bitwise-parity-tested (tests/test_rev_exec.py), but measured
+        # 29.3 vs 27.8 ms/step at B=128/H=512/F=64 — XLA materializes a
+        # full register-file copy around every scatter in BOTH designs,
+        # so the slice-sized updates don't pay yet (see the Pallas
+        # aliased slot kernels in ops/regslots.py for the fix).
+        use_rev = (
+            not deterministic
+            and _os.environ.get("STAIR_REV", "0") != "0"
         )
+        if use_rev:
+            from stair_tpu.models.rev_exec import RevCore, rev_exec
+
+            def rev_step(operands, consts, f_t, t, aux_t, ex_rngs, h_rng):
+                mods_c, tables_c, tokens_c, tmask_c, vmask_c = consts
+                heavy = heavy_stages(
+                    operands, f_t, jax.random.fold_in(h_rng, t),
+                    mods_c, tables_c, vmask_c,
+                )
+                return batched_step(
+                    mods_c, operands, f_t, vmask_c, tokens_c, tmask_c,
+                    ex_rngs, t, aux_t, heavy,
+                )
+
+            core = RevCore(
+                rev_step, cfg.num_vec, cfg.num_frames, cfg.num_attn
+            )
+            rv, rf, ra = rev_exec(
+                core,
+                (rf0[:, 0], mods, tables, token_features, token_mask,
+                 vmask_b, aux_scanned),
+                (scanned_fields, example_rngs, heavy_rng),
+            )
+        else:
+            (rv, rf, ra), _ = jax.lax.scan(
+                scan_body_used, (rv0, rf0, ra0),
+                ((scanned_fields, jnp.arange(T), aux_scanned, sched)),
+            )
         if use_fused:
             # Fused mode skips the frames zero-select: non-frames opcodes
             # scatter kernel garbage into the scratch slot (index
