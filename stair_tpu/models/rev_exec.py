@@ -31,10 +31,21 @@ per-example interpreter this compiled register machine replaces).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from stair_tpu.ops import regslots
+
+
+def _use_slot_kernels():
+    """On-TPU slot writes default to the Pallas aliased kernels
+    (ops/regslots.py) — XLA materializes a full register-file copy around
+    every scatter here, measured on v5e. STAIR_REV_SLOTS=0 falls back to
+    XLA scatters on all platforms (measurement escape hatch)."""
+    return os.environ.get("STAIR_REV_SLOTS", "1") != "0"
 
 
 def _take(file, idx):
@@ -47,18 +58,24 @@ def _take(file, idx):
 def _set(file, idx, val):
     """file[b, idx[b]] = val[b]. (b, idx[b]) pairs are unique and sorted
     along b, so XLA lowers this to a vectorized in-place update."""
+    if _use_slot_kernels():
+        return regslots.slot_set(file, idx, val)
     b = jnp.arange(file.shape[0])
     return file.at[b, idx].set(val, unique_indices=True,
                                indices_are_sorted=True)
 
 
 def _zero(file, idx):
+    if _use_slot_kernels():
+        return regslots.slot_zero(file, idx)
     b = jnp.arange(file.shape[0])
     return file.at[b, idx].set(0.0, unique_indices=True,
                                indices_are_sorted=True)
 
 
 def _add(file, idx, val):
+    if _use_slot_kernels():
+        return regslots.slot_add(file, idx, val)
     b = jnp.arange(file.shape[0])
     return file.at[b, idx].add(val, unique_indices=True,
                                indices_are_sorted=True)

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Flipped by tests to run the TPU kernels under the Pallas interpreter on
+# CPU (semantics-parity coverage without hardware).
+_INTERPRET = False
+
 
 def _xla_set(file, idx, val):
     b = jnp.arange(file.shape[0])
@@ -56,7 +60,8 @@ def _val_spec(rest):
 
 def _set_kernel(s_ref, file_ref, val_ref, out_ref):
     del s_ref, file_ref
-    out_ref[...] = val_ref[...]
+    # val block is (1,)+rest, out block (1, 1)+rest.
+    out_ref[...] = val_ref[...].reshape(out_ref.shape)
 
 
 def _zero_kernel(s_ref, file_ref, out_ref):
@@ -87,6 +92,7 @@ def _pallas_set(file, idx, val):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
+        interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file, val)
 
 
@@ -103,6 +109,7 @@ def _pallas_zero(file, idx):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
+        interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file)
 
 
@@ -122,6 +129,7 @@ def _pallas_add(file, idx, val):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
+        interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file, val)
 
 
