@@ -346,9 +346,10 @@ class Decoder:
             q, k, v = self._project_qkv(layer, a_in, positions)
             # Insert this step's k/v at cur_len.
             def put(cache, new):
+                # rope upcasts k to f32; the cache keeps the prefill dtype.
                 return jax.vmap(
                     lambda c, n, t: jax.lax.dynamic_update_slice(
-                        c, n, (0, t, 0)
+                        c, n.astype(c.dtype), (0, t, 0)
                     )
                 )(cache, new, cur_len)
             ck = put(ck, k)

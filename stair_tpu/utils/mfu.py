@@ -29,6 +29,34 @@ _PEAK_BF16 = {
 }
 
 
+#: Peak HBM bandwidth per chip, bytes/s. Public spec-sheet numbers.
+#: Autoregressive decode reads every live parameter once per token, so
+#: its utilization metric is bandwidth (MBU), not FLOPs.
+_PEAK_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,    # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,        # v5p
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,   # v6e / Trillium
+    "TPU v6e": 1640e9,
+    "TPU v7": 7370e9,        # Ironwood
+}
+
+
+def chip_peak_hbm_bw(device=None) -> float | None:
+    """Peak HBM bandwidth (bytes/s) for ``device``."""
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    if kind in _PEAK_HBM_BW:
+        return _PEAK_HBM_BW[kind]
+    for name, bw in _PEAK_HBM_BW.items():
+        if kind.startswith(name):
+            return bw
+    return None
+
+
 def chip_peak_flops(device=None) -> float | None:
     """Dense bf16 peak FLOP/s for ``device`` (default: first device)."""
     if device is None:

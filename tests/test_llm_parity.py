@@ -145,6 +145,35 @@ def test_generation_and_lora():
     assert not np.allclose(np.asarray(base), np.asarray(changed))
 
 
+def test_bf16_rope_generation():
+    """Generate with bf16 params on a rope (Llama-class) config.
+
+    Regression: rope upcasts the per-step k to f32 inside decode_one, and
+    inserting it into the bf16 prefill cache raised a scatter dtype error
+    (decoder.py ``put`` now casts to the cache dtype) — the exact
+    inference regime of scripts/bench_decode.py and videochat_infer."""
+    from stair_tpu.llm.decoder import DecoderConfig
+
+    cfg = DecoderConfig.llama(vocab_size=50, d_model=32, num_heads=2,
+                              num_layers=2, d_ff=64, max_len=32)
+    model = Decoder(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params
+    )
+    B, Lmax = 2, 16
+    embeds = np.zeros((B, Lmax, cfg.d_model), np.float32)
+    ids = np.array([[4, 8, 15], [16, 23, 42]], np.int32)
+    embeds[:, :3] = np.asarray(params["embed"].astype(jnp.float32))[ids]
+    toks = model.generate(
+        params, jnp.asarray(embeds, jnp.bfloat16), jnp.array([3, 3]),
+        max_new_tokens=5,
+    )
+    assert toks.shape == (2, 5)
+    assert np.all(np.asarray(toks) >= 0) and np.all(np.asarray(toks) < 50)
+
+
 def test_kv_cache_decode_matches_full_forward():
     """decode_one over cached KV must equal the full-sequence forward."""
     from stair_tpu.llm.decoder import DecoderConfig
