@@ -276,7 +276,11 @@ class Decoder:
     # -- generation (prefill + KV-cache decode) ------------------------------
 
     def _project_qkv(self, layer, x, positions):
-        """x [B, L, D] -> q [B, h, L, hd], k/v [B, h, L, hd] (GQA expanded)."""
+        """x [B, L, D] -> q [B, h, L, hd], k/v [B, kv, L, hd].
+
+        k/v stay at ``kv_heads`` (GQA caches must not store the expanded
+        heads: that multiplies cache memory and decode HBM traffic by the
+        group factor — decode reads the whole cache every token)."""
         cfg = self.config
         B, L, D = x.shape
         h_, kv_, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
@@ -286,12 +290,16 @@ class Decoder:
         if cfg.pos == "rope":
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
-        if kv_ != h_:
-            rep = h_ // kv_
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
         return (jnp.moveaxis(q, 1, 2), jnp.moveaxis(k, 1, 2),
                 jnp.moveaxis(v, 1, 2))
+
+    def _expand_kv(self, k, v):
+        """[B, kv, L, hd] -> [B, h, L, hd] for kernels that want full heads."""
+        cfg = self.config
+        if cfg.kv_heads == cfg.num_heads:
+            return k, v
+        rep = cfg.num_heads // cfg.kv_heads
+        return jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1)
 
     def _layer_tail(self, layer, x, attn_out):
         cfg = self.config
@@ -321,8 +329,9 @@ class Decoder:
         for layer in params["layers"]:
             a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
             q, k, v = self._project_qkv(layer, a_in, positions)
-            caches.append((k, v))
-            attn = flash_attention(q, k, v, prefix_len, valid_len)
+            caches.append((k, v))                # [B, kv, L, hd]
+            kf, vf = self._expand_kv(k, v)
+            attn = flash_attention(q, kf, vf, prefix_len, valid_len)
             x = self._layer_tail(layer, x, jnp.moveaxis(attn, 1, 2))
         return _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps), caches
 
@@ -340,6 +349,8 @@ class Decoder:
         if cfg.pos == "learned":
             x = x + params["pos_embed"][jnp.minimum(cur_len, cfg.max_len - 1)][:, None]
         cols = jnp.arange(Lmax)[None, None, None, :]
+        h_, kv_, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+        g = h_ // kv_
         new_caches = []
         for layer, (ck, cv) in zip(params["layers"], caches):
             a_in = _norm(layer["ln1"], x, cfg.norm, cfg.rms_eps)
@@ -356,10 +367,14 @@ class Decoder:
             cv = put(cv, v)
             new_caches.append((ck, cv))
             mask = cols <= cur_len[:, None, None, None]    # [B,1,1,Lmax]
-            s = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / np.sqrt(cfg.head_dim)
+            # Grouped attention over the unexpanded [B, kv, Lmax, hd]
+            # cache: query heads fold into a per-kv-head group axis.
+            qg = q[:, :, 0].reshape(B, kv_, g, hd)
+            s = jnp.einsum("bkgd,bkld->bkgl", qg, ck) / np.sqrt(hd)
             s = jnp.where(mask, s, -1e30)
             w = jax.nn.softmax(s, axis=-1)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", w, cv)
+            attn = jnp.einsum("bkgl,bkld->bkgd", w, cv)
+            attn = attn.reshape(B, h_, 1, hd)
             x = self._layer_tail(layer, x, jnp.moveaxis(attn, 1, 2))
         x = _norm(params["ln_f"], x, cfg.norm, cfg.rms_eps)
         logits = self.logits_from_hidden(params, x)[:, 0]

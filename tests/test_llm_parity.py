@@ -174,12 +174,21 @@ def test_bf16_rope_generation():
     assert np.all(np.asarray(toks) >= 0) and np.all(np.asarray(toks) < 50)
 
 
-def test_kv_cache_decode_matches_full_forward():
-    """decode_one over cached KV must equal the full-sequence forward."""
+@pytest.mark.parametrize("family", ["gpt2", "llama-gqa"])
+def test_kv_cache_decode_matches_full_forward(family):
+    """decode_one over cached KV must equal the full-sequence forward.
+
+    The llama-gqa case pins the grouped decode attention over the
+    unexpanded [B, kv, Lmax, hd] cache (kv_heads < num_heads)."""
     from stair_tpu.llm.decoder import DecoderConfig
 
-    cfg = DecoderConfig.gpt2(vocab_size=40, d_model=32, num_heads=2,
-                             num_layers=2, d_ff=64, max_len=32)
+    if family == "gpt2":
+        cfg = DecoderConfig.gpt2(vocab_size=40, d_model=32, num_heads=2,
+                                 num_layers=2, d_ff=64, max_len=32)
+    else:
+        cfg = DecoderConfig.llama(vocab_size=40, d_model=32, num_heads=4,
+                                  num_kv_heads=2, num_layers=2, d_ff=64,
+                                  max_len=32)
     model = Decoder(cfg)
     params = model.init(jax.random.PRNGKey(3))
     rng = np.random.RandomState(0)
