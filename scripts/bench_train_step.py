@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--decoder-only", action="store_true")
     ap.add_argument("--prng", default="threefry2x32",
                     choices=["threefry2x32", "rbg", "unsafe_rbg"])
+    ap.add_argument("--ab-rev", action="store_true",
+                    help="time the autodiff scan and the reversible "
+                         "executor (STAIR_REV=1) alternately in one "
+                         "process, so shared-host/chip contention hits "
+                         "both arms equally")
+    ap.add_argument("--ab-rounds", type=int, default=3)
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl", args.prng)
 
@@ -83,20 +89,54 @@ def main():
             updates, opt_state = optimizer.update(grads, opt_state, p)
             return optax.apply_updates(p, updates), opt_state, loss
 
-    @jax.jit
-    def chained(params, opt_state, rng):
-        def body(carry, i):
-            p, s, r = carry
-            r = jax.random.fold_in(r, i)
-            p, s, loss = one(p, s, r)
-            return (p, s, r), loss
+    def make_chained():
+        # Fresh function object per call: nmn.forward reads STAIR_REV at
+        # trace time, so the A/B mode re-traces under each env setting.
+        @jax.jit
+        def chained(params, opt_state, rng):
+            def body(carry, i):
+                p, s, r = carry
+                r = jax.random.fold_in(r, i)
+                p, s, loss = one(p, s, r)
+                return (p, s, r), loss
 
-        (params, opt_state, _), losses = jax.lax.scan(
-            body, (params, opt_state, rng), jnp.arange(args.iters)
-        )
-        return params, opt_state, losses
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, rng), jnp.arange(args.iters)
+            )
+            return params, opt_state, losses
+
+        return chained
 
     rng = jax.random.PRNGKey(0)
+
+    if args.ab_rev:
+        import os
+
+        arms = {}
+        for name, env in (("autodiff", "0"), ("reversible", "1")):
+            os.environ["STAIR_REV"] = env
+            fn = make_chained()
+            t0 = time.perf_counter()
+            _, _, losses = fn(params, opt_state, rng)
+            np.asarray(losses)
+            print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s, "
+                  f"losses[-1]={losses[-1]:.4f}")
+            arms[name] = fn
+        times = {k: [] for k in arms}
+        for _ in range(args.ab_rounds):
+            for name, fn in arms.items():
+                t0 = time.perf_counter()
+                _, _, losses = fn(params, opt_state, rng)
+                np.asarray(losses)
+                times[name].append((time.perf_counter() - t0) / args.iters)
+        for name, ts in times.items():
+            ms = sorted(t * 1e3 for t in ts)
+            print(f"{name}: best {ms[0]:.1f} ms/step, "
+                  f"median {ms[len(ms) // 2]:.1f}, all "
+                  + " ".join(f"{t:.1f}" for t in ms))
+        return
+
+    chained = make_chained()
     t0 = time.perf_counter()
     p2, s2, losses = chained(params, opt_state, rng)
     np.asarray(losses)  # fetch: block_until_ready is unreliable over tunnel

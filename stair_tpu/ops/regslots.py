@@ -58,6 +58,21 @@ def _val_spec(rest):
                         memory_space=pltpu.VMEM)
 
 
+def _widen(file, val):
+    """Mosaic requires a block's last two dims be 8/128-divisible or equal
+    to the array dims, so a slot block (1, 1, H) over a rank-3 file
+    [B, N, H] cannot lower (1 != N in the second-to-last position). Insert
+    a singleton after the slot axis — [B, N, 1, H] / val [B, 1, H] — so the
+    block's trailing dims (1, H) EQUAL the array's. Pure metadata: the
+    reshape is a bitcast at these layouts."""
+    if file.ndim >= 4:
+        return file, val, False
+    file = file[:, :, None]
+    if val is not None:
+        val = val[:, None]
+    return file, val, True
+
+
 def _set_kernel(s_ref, file_ref, val_ref, out_ref):
     del s_ref, file_ref
     # val block is (1,)+rest, out block (1, 1)+rest.
@@ -75,6 +90,7 @@ def _add_kernel(s_ref, cur_ref, val_ref, out_ref):
 
 
 def _pallas_set(file, idx, val):
+    file, val, squeezed = _widen(file, val)
     rest = file.shape[2:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -87,16 +103,18 @@ def _pallas_set(file, idx, val):
         ],
         out_specs=_out_spec(rest),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _set_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
         interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file, val)
+    return out[:, :, 0] if squeezed else out
 
 
 def _pallas_zero(file, idx):
+    file, _, squeezed = _widen(file, None)
     rest = file.shape[2:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -104,16 +122,18 @@ def _pallas_zero(file, idx):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=_out_spec(rest),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _zero_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
         interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file)
+    return out[:, :, 0] if squeezed else out
 
 
 def _pallas_add(file, idx, val):
+    file, val, squeezed = _widen(file, val)
     rest = file.shape[2:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -124,13 +144,14 @@ def _pallas_add(file, idx, val):
         ],
         out_specs=_out_spec(rest),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _add_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(file.shape, file.dtype),
         input_output_aliases={1: 0},
         interpret=_INTERPRET,
     )(idx.astype(jnp.int32), file, val)
+    return out[:, :, 0] if squeezed else out
 
 
 def slot_set(file, idx, val):
