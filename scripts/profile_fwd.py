@@ -67,6 +67,20 @@ def main():
     print(f"fwd @ B={args.batch}: {dt * 1e3:.1f} ms/batch "
           f"({args.batch / dt:.0f} q/s)")
 
+    # HLO name -> jax scope (metadata op_name) for labeling trace ops.
+    hlo_scopes = {}
+    try:
+        hlo = chained.lower(params, batch).compile().as_text()
+        import re
+
+        for m in re.finditer(
+            r"%?([\w.\-]+)\s*=\s*[^\n]*metadata=\{[^}]*op_name=\"([^\"]+)\"",
+            hlo,
+        ):
+            hlo_scopes[m.group(1)] = m.group(2)
+    except Exception as e:  # pragma: no cover - best effort
+        print("hlo scope extraction failed:", e)
+
     os.system(f"rm -rf {args.dir}")
     jax.profiler.start_trace(args.dir)
     np.asarray(chained(params, batch))
@@ -93,24 +107,44 @@ def main():
         p for p, n in pid_names.items()
         if "TPU" in n or "tpu" in n or "Device" in n or "/device" in n
     }
-    agg = {}
-    total = 0.0
+    # Self-time aggregation: trace events nest (jit > while > fusion), so
+    # subtract each event's children before aggregating per op name.
+    lanes = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         tname = tid_names.get((e["pid"], e.get("tid")), "")
         if "step" in tname.lower():
             continue
-        dur = e.get("dur", 0)
-        name = e.get("name", "?")
-        agg[name] = agg.get(name, 0.0) + dur
-        total += dur
+        lanes.setdefault((e["pid"], e.get("tid")), []).append(e)
+    agg = {}
+    total = 0.0
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack2 = []
+        for e in evs:
+            dur = e.get("dur", 0)
+            while stack2 and e["ts"] >= stack2[-1][0]:
+                top = stack2.pop()
+                self_t = top[1] - top[2]
+                agg[top[3]] = agg.get(top[3], 0.0) + self_t
+                total += self_t
+            if stack2:
+                stack2[-1][2] += dur
+            stack2.append([e["ts"] + dur, dur, 0.0, e.get("name", "?")])
+        while stack2:
+            top = stack2.pop()
+            self_t = top[1] - top[2]
+            agg[top[3]] = agg.get(top[3], 0.0) + self_t
+            total += self_t
     print(f"device lanes: {sorted(pid_names[p] for p in dev_pids)}")
-    print(f"total device op time: {total / 1e3:.1f} ms "
+    print(f"total device self time: {total / 1e3:.1f} ms "
           f"({total / 1e3 / args.iters:.2f} ms/iter)")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]:
+        scope = hlo_scopes.get(name, "")
         print(f"  {dur / 1e3 / args.iters:8.3f} ms/iter  "
-              f"{100 * dur / max(total, 1):5.1f}%  {name[:110]}")
+              f"{100 * dur / max(total, 1):5.1f}%  {name[:60]}"
+              f"  {scope[-90:]}")
 
 
 if __name__ == "__main__":

@@ -337,16 +337,15 @@ class VideoNMN:
             new_vec = _select(op, vec_cands, jnp.zeros((H,), dt))
 
             # --- frames candidates ----------------------------------------
-            if "frames_all" in heavy:
-                # Fused-kernel mode: every frames-producing family's output
-                # already sits in one buffer with the right per-row
-                # epilogue applied. Rows whose opcode produces no frames
-                # carry kernel garbage — the lowering targets those writes
-                # at the scratch slot (never an operand; ``Trace.
-                # field_matrix`` sets OUT_FRAMES=_SCRATCH), which the scan
-                # epilogue re-zeroes, so the [B, F, H] zero-select stream
-                # (~0.1 ms/step at B=1024) is skipped entirely.
-                new_frames = heavy["frames_all"]
+            if "temporal_out" not in heavy:
+                # Fused-kernel mode: every frames-producing family's
+                # output was already stored IN the register file by the
+                # kernel's aliased output (each tile writes its example's
+                # (out_frames) slot in place; non-frames opcodes flush
+                # into the scratch slot, which the scan epilogue
+                # re-zeroes). Nothing to return here — scan_body takes
+                # the written file from heavy["rf_new"].
+                new_frames = jnp.zeros((F, H), dt)
             else:
                 frames_cands = [
                     (Opcode.TEMPORAL, heavy["temporal_out"]),
@@ -687,7 +686,7 @@ class VideoNMN:
             gkb = (va @ ffw[H:]
                    + mods["filterframe"]["attn_b"]).astype(jnp.float32)
 
-            feat, y, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
+            feat, rf_new, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
                 sched["scal"], rv, rf, ra, related.astype(dt),
                 vmask_b.astype(dt),
                 gkb, tables["w1u"], tables["b1u"], tables["w2u"],
@@ -725,12 +724,27 @@ class VideoNMN:
 
             sup_v = superlative(loc_scores, pair, pair_mask, mode, vmask_b)
 
+            # SUPERLATIVE_F's localize.k projection (kw_f = fb @ w2t[2])
+            # runs HERE, not in the kernel: keeping the fb operand out of
+            # the kernel is what lets the register file be passed as one
+            # aliased operand (a second rf param forced a full-file
+            # defensive copy per step — profiled ~21 ms/forward at
+            # B=1024). fb slots are untouched by this step's in-kernel
+            # write (SSA: out_frames is a fresh slot or scratch, never an
+            # operand), so the reads below come from rf_new and the old
+            # rf has no consumers after the kernel call — which is what
+            # lets XLA honor the in-place aliasing without a copy.
+            def supf_kwf(fb_rows):
+                return (fb_rows @ tables["w2t"][2]
+                        + tables["b2t"][2]).astype(dt)
+
             def supf_dense(take):
                 del take
                 fb_full = jnp.take_along_axis(
-                    rf, instr["fb"][:, None, None, None], axis=1
+                    rf_new, instr["fb"][:, None, None, None], axis=1
                 )[:, 0]
-                scores_f = (jax.vmap(M.cosine_matrix)(y, vfeat)
+                scores_f = (jax.vmap(M.cosine_matrix)(
+                    supf_kwf(fb_full), vfeat)
                             + 1.0) * 0.49 * vmask_b[:, None, :]
                 return superlative(scores_f, fb_full, vmask_b > 0, mode,
                                    vmask_b)
@@ -740,8 +754,9 @@ class VideoNMN:
                 sup_f = supf_dense(None)
             else:
                 def supf_sliced(take):
-                    fbc = rf[take, instr["fb"][take]]
-                    sc = (jax.vmap(M.cosine_matrix)(y[take], vfeat[take])
+                    fbc = rf_new[take, instr["fb"][take]]
+                    sc = (jax.vmap(M.cosine_matrix)(
+                        supf_kwf(fbc), vfeat[take])
                           + 1.0) * 0.49 * vmask_b[take][:, None, :]
                     sf = superlative(
                         sc, fbc, vmask_b[take] > 0, mode[take],
@@ -755,7 +770,7 @@ class VideoNMN:
                 )
 
             return {
-                "filter_vec": filter_vec, "frames_all": y,
+                "filter_vec": filter_vec, "rf_new": rf_new,
                 "loc_scores": loc_scores, "sup_v": sup_v, "sup_f": sup_f,
                 "temporal_rel": related, "hasitem": hasitem,
                 "existsframe": exf,
@@ -772,19 +787,26 @@ class VideoNMN:
             operands = read_operands(regs, instr_t, skip_fa=use_fused)
             if use_fused:
                 heavy = heavy_fused(regs, operands, instr_t, sched_t)
+                # The frames write already happened inside the kernel
+                # (aliased output slot (b, out_frames[b])).
+                rf_written = heavy.pop("rf_new")
             else:
                 heavy = heavy_stages(
                     operands, instr_t,
                     jax.random.fold_in(heavy_rng, t),
                     mods, tables, vmask_b,
                 )
+                rf_written = None
             new_vec, new_frames, new_attn, new_attn_b = batched_step(
                 mods, operands, instr_t, video_mask, token_features,
                 token_mask, example_rngs, t, aux_t, heavy,
             )
             rv, rf, ra = regs
             rv = reg_write(rv, instr_t["out_vec"], new_vec)
-            rf = reg_write(rf, instr_t["out_frames"], new_frames)
+            if rf_written is None:
+                rf = reg_write(rf, instr_t["out_frames"], new_frames)
+            else:
+                rf = rf_written
             ra = reg_write(ra, instr_t["out_attn"], new_attn)
             ra = reg_write(ra, instr_t["out_attn_b"], new_attn_b)
             return (rv, rf, ra), None
@@ -866,13 +888,20 @@ class VideoNMN:
             def _g(a):
                 return jnp.take_along_axis(a, perm, axis=1)
 
+            # supf tiles no longer run a stage-2 matmul (their localize.k
+            # projection lives in the XLA glue) — point their w2t fetch
+            # at the null expert so they don't churn the weight block.
+            w2t_code = jnp.where(
+                e2 == ES.E2_SUPF, 3, jnp.minimum(e2, 3)
+            )
             scal_all = jnp.stack([
-                perm, _g(e1), _g(jnp.minimum(e2, 3)), _g(e2),
+                perm, _g(e1), _g(w2t_code), _g(e2),
                 _g(scanned_fields["fa"]), _g(scanned_fields["fb"]),
                 _g(scanned_fields["va"]), _g(scanned_fields["aa"]),
                 _g(is_filter.astype(jnp.int32)),
                 _g((opT == int(Opcode.FILTERFRAME_V)).astype(jnp.int32)),
                 _g(scanned_fields["vb"]),
+                _g(scanned_fields["out_frames"]),
             ], axis=1).astype(jnp.int32)                   # [T, NS, B]
             counts = jnp.sum(
                 jax.nn.one_hot(e1, 11, dtype=jnp.int32), axis=1

@@ -35,16 +35,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Packed scalar-prefetch rows (one [NS, B] int32 array).
+# Packed scalar-prefetch rows (one [NS, B] int32 array). S_FB is kept in
+# the pack for layout stability but unused by the kernel since the supf
+# projection moved to the executor's XLA glue.
 (S_PERM, S_E1, S_W2T, S_E2, S_FA, S_FB, S_VA, S_AA, S_FILT, S_FFV,
- S_VB) = range(11)
-NS = 11
+ S_VB, S_OUTF) = range(12)
+NS = 12
 
 # e2 codes (stage-2 family): ff, temporal, supf(loc.k), null, attnvideo.
 E2_FF, E2_TEMPORAL, E2_SUPF, E2_NULL, E2_ATTNVIDEO = range(5)
 
 
-def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
+def _step_kernel(s_ref, fa_ref, rv_ref, ra_ref, rel_ref, vm_ref,
                  gkb_ref, w1_ref, b1_ref, w2_ref, b2_ref, w2t_ref, b2t_ref,
                  ffwf_ref, lns_ref, lnb_ref, wk_ref, bk_ref,
                  feat_ref, y_ref, pooled_ref, has_ref, exf_ref,
@@ -125,19 +127,22 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     )                                                    # [F]
 
     # ---- stage 2 input select + projection + epilogue ------------------
-    # Predicated on a live stage-2 family (null tiles skip the matmul;
-    # attnvideo tiles skip it too — their output is just aa * fa).
+    # Predicated on a live stage-2 family. Null and attnvideo tiles skip
+    # the matmul; SUPERLATIVE_F tiles skip it too — their localize.k
+    # projection consumes the fb operand, and keeping fb out of the
+    # kernel is what lets the register file be passed as ONE aliased
+    # operand (XLA inserts a full-file defensive copy per step when the
+    # same buffer arrives as several params with one donated — profiled
+    # at ~21 ms/forward at B=1024). The supf projection moved to the
+    # executor's capacity-sliced XLA glue.
     e2 = s_ref[S_E2, i]
 
-    @pl.when((e2 != E2_NULL) & (e2 != E2_ATTNVIDEO))
+    @pl.when((e2 == E2_FF) | (e2 == E2_TEMPORAL))
     def _stage2():
         rel = rel_ref[0, 0].astype(jnp.float32)
         x2 = jnp.where(
             e2 == E2_FF, gate[:, None] * feat.astype(jnp.float32),
-            jnp.where(
-                e2 == E2_TEMPORAL, rel[:, None] * xf,
-                fb_ref[0, 0].astype(jnp.float32),
-            ),
+            rel[:, None] * xf,
         ).astype(dt)
         y2 = jnp.dot(x2, w2t_ref[0], preferred_element_type=jnp.float32)
         y2 = y2 + b2t_ref[0, 0].astype(jnp.float32)      # [F, H] f32
@@ -148,11 +153,8 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
         ln_y = ((relu_y - mu) * jax.lax.rsqrt(var + 1e-5)
                 * lns_ref[:].astype(jnp.float32)
                 + lnb_ref[:].astype(jnp.float32))
-        y = jnp.where(
-            e2 == E2_FF, relu_y * vm[:, None],
-            jnp.where(e2 == E2_TEMPORAL, ln_y, y2),
-        )
-        y_ref[0] = y.astype(dt)
+        y = jnp.where(e2 == E2_FF, relu_y * vm[:, None], ln_y)
+        y_ref[0, 0] = y.astype(dt)
 
     @pl.when(e2 == E2_ATTNVIDEO)
     def _attnvideo():
@@ -160,7 +162,7 @@ def _step_kernel(s_ref, fa_ref, fb_ref, rv_ref, ra_ref, rel_ref, vm_ref,
         sel_a = (jax.lax.broadcasted_iota(jnp.int32, (na, 1), 0)
                  == s_ref[S_AA, i]).astype(jnp.float32)
         aa = jnp.sum(ra_ref[0].astype(jnp.float32) * sel_a, axis=0)
-        y_ref[0] = (aa[:, None] * xf).astype(dt)
+        y_ref[0, 0] = (aa[:, None] * xf).astype(dt)
 
 
 def fused_step(scal, rv, rf, ra, related, vmask, gkb,
@@ -175,12 +177,16 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
     b1u/b2u [G, H], w2t [4, H, H], b2t [4, H], ffwf [H, 1], ln_* [1, H],
     loc_kw [H, H] + loc_kb [1, H] (the localize keyword projection).
 
-    Returns (feat, y, pooled_sorted, hasitem, existsframe, loc_a, loc_b):
-    feat/y [B, F, H], hasitem/existsframe [B, F], and loc_a/loc_b [B, F]
-    f32 localize cosine scores (va/vb keyword rows; garbage on
-    non-locsup tiles, discarded by the executor's opcode selects) in
-    UNSORTED example order; pooled [B, H] in sorted order (consumed by
-    the grouped dense3).
+    Returns (feat, rf_new, pooled_sorted, hasitem, existsframe, loc_a,
+    loc_b): feat [B, F, H]; rf_new [B, Nf, F, H] is the register file
+    WITH THIS STEP'S FRAMES WRITE APPLIED (the fb operand is aliased to
+    it — each tile stores its stage-2/attnvideo output at
+    (example, out_frames[example]) in place, kw_f for SUPERLATIVE_F rows
+    landing in their scratch slot); hasitem/existsframe [B, F] and
+    loc_a/loc_b [B, F] f32 localize cosine scores (garbage on non-locsup
+    tiles, discarded by the executor's opcode selects) in UNSORTED
+    example order; pooled [B, H] in sorted order (consumed by the
+    grouped dense3).
     """
     B, Nf, F, H = rf.shape
     Nv = rv.shape[1]
@@ -213,10 +219,10 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
+            # The register file, referenced EXACTLY ONCE: fa blocks are
+            # fetched from it and the frames output is aliased onto it.
             pl.BlockSpec((1, 1, F, H), im(S_PERM, S_FA, "z", "z"),
                          memory_space=pltpu.VMEM),      # fa from rf
-            pl.BlockSpec((1, 1, F, H), im(S_PERM, S_FB, "z", "z"),
-                         memory_space=pltpu.VMEM),      # fb from rf
             pl.BlockSpec((1, Nv, H), im(S_PERM, "z", "z"),
                          memory_space=pltpu.VMEM),      # vec regs row
             pl.BlockSpec((1, Na, F), im(S_PERM, "z", "z"),
@@ -248,8 +254,16 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
         out_specs=[
             pl.BlockSpec((1, F, H), im(S_PERM, "z", "z"),
                          memory_space=pltpu.VMEM),      # feat (unsorted)
-            pl.BlockSpec((1, F, H), im(S_PERM, "z", "z"),
-                         memory_space=pltpu.VMEM),      # y (unsorted)
+            # Frames output lands DIRECTLY in the register file: the fb
+            # operand's buffer is aliased to this output and each tile
+            # writes its example's target slot (perm[i], out_frames[i]).
+            # SSA guarantees out_frames != fa/fb for the same example, so
+            # the in-place write never races the operand fetches; null
+            # tiles (pl.when skips the store) flush stale VMEM into their
+            # example's scratch slot, which the executor re-zeroes after
+            # the scan — same contract as the old separate-y scatter.
+            pl.BlockSpec((1, 1, F, H), im(S_PERM, S_OUTF, "z", "z"),
+                         memory_space=pltpu.VMEM),      # y -> rf slot
             pl.BlockSpec((1, 1, H), im("i", "z", "z"),
                          memory_space=pltpu.VMEM),      # pooled (sorted)
             pl.BlockSpec((1, 1, F), im(S_PERM, "z", "z"),
@@ -262,21 +276,29 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
                          memory_space=pltpu.VMEM),      # loc_b
         ],
     )
-    feat, y, pooled, has, exf, loca, locb = pl.pallas_call(
+    feat, rf_new, pooled, has, exf, loca, locb = pl.pallas_call(
         _step_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, F, H), dt),
-            jax.ShapeDtypeStruct((B, F, H), dt),
+            jax.ShapeDtypeStruct((B, Nf, F, H), dt),
             jax.ShapeDtypeStruct((B, 1, H), dt),
             jax.ShapeDtypeStruct((B, 1, F), dt),
             jax.ShapeDtypeStruct((B, 1, F), dt),
             jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
         ],
+        # The rf operand (arg 1) is donated to the frames output: the
+        # step's register write happens inside the kernel, so no
+        # [B, F, H] y buffer and no XLA scatter streaming the
+        # [B, Nf, F, H] file exist (the scatter profiled ~5 ms/forward
+        # at B=1024). SSA makes the in-place write race-free: an
+        # example's out_frames slot is never one of its operand slots,
+        # and each example is exactly one grid tile.
+        input_output_aliases={1: 1},
         interpret=interpret,
-    )(scal.astype(jnp.int32), rf, rf, rv, ra, related3, vmask3, gkb3,
+    )(scal.astype(jnp.int32), rf, rv, ra, related3, vmask3, gkb3,
       w1u, b1u3, w2u, b2u3, w2t, b2t3, ffwf, ln_scale, ln_bias,
       loc_kw, loc_kb)
-    return (feat, y, pooled[:, 0], has[:, 0], exf[:, 0],
+    return (feat, rf_new, pooled[:, 0], has[:, 0], exf[:, 0],
             loca[:, 0], locb[:, 0])
