@@ -686,7 +686,7 @@ class VideoNMN:
             gkb = (va @ ffw[H:]
                    + mods["filterframe"]["attn_b"]).astype(jnp.float32)
 
-            feat, rf_new, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
+            rf_new, pooled_s, hasitem, exf, loc_a, loc_b = ES.fused_step(
                 sched["scal"], rv, rf, ra, related.astype(dt),
                 vmask_b.astype(dt),
                 gkb, tables["w1u"], tables["b1u"], tables["w2u"],
@@ -708,7 +708,6 @@ class VideoNMN:
             # Localize / superlative heads. The cosine scores come out of
             # the kernel (feat stays in VMEM there); only the tiny [B, 2]
             # softmax blend remains in XLA.
-            vfeat = feat
             pair = jnp.stack([va, vb], axis=1)
             loc_scores = jnp.stack([loc_a, loc_b], axis=1)   # [B, 2, F]
             pair_mask = jnp.arange(2)[None, :] < count[:, None]
@@ -738,13 +737,24 @@ class VideoNMN:
                 return (fb_rows @ tables["w2t"][2]
                         + tables["b2t"][2]).astype(dt)
 
+            def supf_vfeat(fa_rows):
+                # Stage-1 localize projection (expert 8, linear output),
+                # recomputed here so the kernel emits no [B, F, H] feat
+                # buffer — supf needs at most B/8 rows of it.
+                h = jax.nn.relu(fa_rows @ tables["w1u"][8]
+                                + tables["b1u"][8]).astype(dt)
+                return (h @ tables["w2u"][8] + tables["b2u"][8]).astype(dt)
+
             def supf_dense(take):
                 del take
                 fb_full = jnp.take_along_axis(
                     rf_new, instr["fb"][:, None, None, None], axis=1
                 )[:, 0]
+                fa_full = jnp.take_along_axis(
+                    rf_new, instr["fa"][:, None, None, None], axis=1
+                )[:, 0]
                 scores_f = (jax.vmap(M.cosine_matrix)(
-                    supf_kwf(fb_full), vfeat)
+                    supf_kwf(fb_full), supf_vfeat(fa_full))
                             + 1.0) * 0.49 * vmask_b[:, None, :]
                 return superlative(scores_f, fb_full, vmask_b > 0, mode,
                                    vmask_b)
@@ -755,8 +765,9 @@ class VideoNMN:
             else:
                 def supf_sliced(take):
                     fbc = rf_new[take, instr["fb"][take]]
+                    fac = rf_new[take, instr["fa"][take]]
                     sc = (jax.vmap(M.cosine_matrix)(
-                        supf_kwf(fbc), vfeat[take])
+                        supf_kwf(fbc), supf_vfeat(fac))
                           + 1.0) * 0.49 * vmask_b[take][:, None, :]
                     sf = superlative(
                         sc, fbc, vmask_b[take] > 0, mode[take],

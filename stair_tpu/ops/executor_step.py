@@ -49,8 +49,8 @@ E2_FF, E2_TEMPORAL, E2_SUPF, E2_NULL, E2_ATTNVIDEO = range(5)
 def _step_kernel(s_ref, fa_ref, rv_ref, ra_ref, rel_ref, vm_ref,
                  gkb_ref, w1_ref, b1_ref, w2_ref, b2_ref, w2t_ref, b2t_ref,
                  ffwf_ref, lns_ref, lnb_ref, wk_ref, bk_ref,
-                 feat_ref, y_ref, pooled_ref, has_ref, exf_ref,
-                 loca_ref, locb_ref):
+                 y_ref, pooled_ref, has_ref, exf_ref,
+                 loca_ref, locb_ref, feat_ref):
     i = pl.program_id(0)
     dt = fa_ref.dtype
     x = fa_ref[0, 0]                                     # [F, H]
@@ -60,7 +60,10 @@ def _step_kernel(s_ref, fa_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     # Predicated: null-expert tiles (cheap vec/attn opcodes) skip all
     # stage-1 work; their feat/pooled/has outputs are garbage that the
     # opcode selects downstream never read (selects pick lanes, so
-    # stray NaNs cannot propagate across rows).
+    # stray NaNs cannot propagate across rows). feat lives in VMEM
+    # scratch only — its sole off-kernel consumer was the rare
+    # SUPERLATIVE_F glue, which recomputes its <= B/8 rows in XLA, so
+    # the [B, F, H] HBM write per step is gone.
     @pl.when(s_ref[S_E1, i] != 9)
     def _stage1():
         h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32)
@@ -69,13 +72,13 @@ def _step_kernel(s_ref, fa_ref, rv_ref, ra_ref, rel_ref, vm_ref,
         h2 = h2 + b2_ref[0, 0].astype(jnp.float32)       # [F, H] f32
         filt = s_ref[S_FILT, i] > 0
         feat32 = jnp.where(filt, jax.nn.relu(h2), h2)
-        feat_ref[0] = feat32.astype(dt)
+        feat_ref[...] = feat32.astype(dt)
         pooled_ref[0, 0] = jnp.sum(
             feat32 * (vm * vm)[:, None], axis=0
         ).astype(dt)
         has_ref[0, 0] = (jax.nn.sigmoid(h2[:, 0]) * vm).astype(dt)
 
-    feat = feat_ref[0]                                   # [F, H]
+    feat = feat_ref[...]                                 # [F, H]
 
     # ---- existsframe cosine -------------------------------------------
     # Dynamic sublane indexing is unsupported in Mosaic; select the
@@ -99,7 +102,7 @@ def _step_kernel(s_ref, fa_ref, rv_ref, ra_ref, rel_ref, vm_ref,
     # M.linear(localize.k): bf16 kw round trip, f32 norms, COS_EPS clamp.
     @pl.when(s_ref[S_E1, i] == 8)
     def _localize():
-        featf = feat_ref[0].astype(jnp.float32)
+        featf = feat_ref[...].astype(jnp.float32)
         nf = jnp.sqrt(jnp.maximum(jnp.sum(featf * featf, axis=1), 1e-30))
         nvec = rv_ref.shape[1]
         for s_row, out_ref in ((S_VA, loca_ref), (S_VB, locb_ref)):
@@ -177,16 +180,18 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
     b1u/b2u [G, H], w2t [4, H, H], b2t [4, H], ffwf [H, 1], ln_* [1, H],
     loc_kw [H, H] + loc_kb [1, H] (the localize keyword projection).
 
-    Returns (feat, rf_new, pooled_sorted, hasitem, existsframe, loc_a,
-    loc_b): feat [B, F, H]; rf_new [B, Nf, F, H] is the register file
-    WITH THIS STEP'S FRAMES WRITE APPLIED (the fb operand is aliased to
-    it — each tile stores its stage-2/attnvideo output at
-    (example, out_frames[example]) in place, kw_f for SUPERLATIVE_F rows
-    landing in their scratch slot); hasitem/existsframe [B, F] and
-    loc_a/loc_b [B, F] f32 localize cosine scores (garbage on non-locsup
-    tiles, discarded by the executor's opcode selects) in UNSORTED
-    example order; pooled [B, H] in sorted order (consumed by the
-    grouped dense3).
+    Returns (rf_new, pooled_sorted, hasitem, existsframe, loc_a, loc_b):
+    rf_new [B, Nf, F, H] is the register file WITH THIS STEP'S FRAMES
+    WRITE APPLIED (the rf operand is aliased to it — each tile stores
+    its stage-2/attnvideo output at (example, out_frames[example]) in
+    place); hasitem/existsframe [B, F] and loc_a/loc_b [B, F] f32
+    localize cosine scores (garbage on non-locsup tiles, discarded by
+    the executor's opcode selects) in UNSORTED example order; pooled
+    [B, H] in sorted order (consumed by the grouped dense3). The
+    SUPERLATIVE_F inputs (stage-1 projection and localize.k keyword) are
+    NOT emitted — the executor's capacity-sliced XLA glue recomputes
+    them for its <= B/8 rows, which keeps this kernel free of [B, F, H]
+    HBM outputs and of a second register-file operand.
     """
     B, Nf, F, H = rf.shape
     Nv = rv.shape[1]
@@ -218,6 +223,7 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
+        scratch_shapes=[pltpu.VMEM((F, H), dt)],         # feat
         in_specs=[
             # The register file, referenced EXACTLY ONCE: fa blocks are
             # fetched from it and the frames output is aliased onto it.
@@ -252,9 +258,7 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # loc kw b [1, H]
         ],
         out_specs=[
-            pl.BlockSpec((1, F, H), im(S_PERM, "z", "z"),
-                         memory_space=pltpu.VMEM),      # feat (unsorted)
-            # Frames output lands DIRECTLY in the register file: the fb
+            # Frames output lands DIRECTLY in the register file: the rf
             # operand's buffer is aliased to this output and each tile
             # writes its example's target slot (perm[i], out_frames[i]).
             # SSA guarantees out_frames != fa/fb for the same example, so
@@ -276,11 +280,10 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
                          memory_space=pltpu.VMEM),      # loc_b
         ],
     )
-    feat, rf_new, pooled, has, exf, loca, locb = pl.pallas_call(
+    rf_new, pooled, has, exf, loca, locb = pl.pallas_call(
         _step_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, F, H), dt),
             jax.ShapeDtypeStruct((B, Nf, F, H), dt),
             jax.ShapeDtypeStruct((B, 1, H), dt),
             jax.ShapeDtypeStruct((B, 1, F), dt),
@@ -295,10 +298,10 @@ def fused_step(scal, rv, rf, ra, related, vmask, gkb,
         # at B=1024). SSA makes the in-place write race-free: an
         # example's out_frames slot is never one of its operand slots,
         # and each example is exactly one grid tile.
-        input_output_aliases={1: 1},
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(scal.astype(jnp.int32), rf, rv, ra, related3, vmask3, gkb3,
       w1u, b1u3, w2u, b2u3, w2t, b2t3, ffwf, ln_scale, ln_bias,
       loc_kw, loc_kb)
-    return (feat, rf_new, pooled[:, 0], has[:, 0], exf[:, 0],
+    return (rf_new, pooled[:, 0], has[:, 0], exf[:, 0],
             loca[:, 0], locb[:, 0])
