@@ -259,15 +259,35 @@ class VideoNMN:
         # interpret (CPU interpreter, for parity tests).
         fuse_env = _os.environ.get("STAIR_FUSED_EXEC", "auto")
         _default_dev = getattr(jax.config, "jax_default_device", None)
+        _on_tpu = (
+            jax.default_backend() != "cpu"
+            and getattr(_default_dev, "platform", None) != "cpu"
+        )
         use_fused = (
             deterministic and is_parity and not _ABLATE
             and fuse_env != "0"
-            and (
-                fuse_env == "interpret"
-                or (jax.default_backend() != "cpu"
-                    and getattr(_default_dev, "platform", None) != "cpu")
-            )
+            and (fuse_env == "interpret" or _on_tpu)
         )
+
+        # Executor MEGAKERNEL (ops/mega_exec.py): the whole scan in one
+        # Pallas call, register files resident in VMEM. Takes precedence
+        # over the per-step fused kernel on TPU. STAIR_MEGA_EXEC:
+        # auto (on for TPU), 0 (off), interpret (CPU interpreter).
+        mega_env = _os.environ.get("STAIR_MEGA_EXEC", "auto")
+        use_mega = (
+            deterministic and is_parity and not _ABLATE
+            and mega_env != "0"
+            and (mega_env == "interpret" or _on_tpu)
+        )
+        if use_mega:
+            from stair_tpu.ops.mega_exec import mega_exec
+
+            aux_in = None if aux_vec is None else aux_vec.astype(dt)
+            return mega_exec(
+                cfg, mods, tables, trace_fields, video_frames,
+                video_mask, token_features, token_mask, aux_vec=aux_in,
+                interpret=mega_env == "interpret",
+            )
 
         # Initial register files: frames register 0 <- encoded video.
         # (A slot-per-step frames layout — T+2 slots, batch-uniform
