@@ -41,6 +41,7 @@ _ABLATE = frozenset(
 from stair_tpu.models import modules as M
 from stair_tpu.ops.lstm import (
     bilstm,
+    bilstm_pallas,
     init_lstm_params,
     init_transformer_encoder_params,
     transformer_encode,
@@ -129,36 +130,65 @@ class VideoNMN:
 
     # -- encoders ------------------------------------------------------------
 
+    def _mm_dtype(self):
+        # bf16 compute mode runs the LSTM matmuls on the MXU in bf16
+        # (f32 state/accumulation — standard mixed precision).
+        return (
+            jnp.bfloat16
+            if self.config.compute_dtype == "bfloat16" else None
+        )
+
     def _encode(self, enc_params, x, mask):
         if self.config.encoder == "lstm":
-            # bf16 compute mode runs the LSTM matmuls on the MXU in bf16
-            # (f32 state/accumulation — standard mixed precision).
-            mm = (
-                jnp.bfloat16
-                if self.config.compute_dtype == "bfloat16" else None
-            )
-            return bilstm(enc_params, x, mask, mm_dtype=mm)
+            return bilstm(enc_params, x, mask, mm_dtype=self._mm_dtype())
         return transformer_encode(enc_params, x, mask)
 
-    def encode_video(self, params, video, video_mask):
-        """[B, F, video_size] -> [B, F, H] (ref module_net.py:160-163)."""
-        return jax.vmap(
-            lambda x, m: self._encode(params["video_encoder"], x, m)[0]
-        )(video, video_mask)
+    def _encode_batched(self, enc_params, x, mask, deterministic):
+        """[B, L, D] -> (tokens [B, L, H], sentence [B, H]).
 
-    def encode_question(self, params, question, question_mask):
+        Deterministic forwards on TPU route to the Pallas BiLSTM kernel
+        (ops/lstm.py bilstm_pallas: recurrent state VMEM-resident over a
+        (batch-tile, time) grid — no per-step output-stack HBM round
+        trips). Training keeps the differentiable scan; STAIR_PALLAS_LSTM:
+        auto (on for TPU), 0 (off), interpret (CPU interpreter).
+        """
+        if self.config.encoder == "lstm" and deterministic:
+            env = _os.environ.get("STAIR_PALLAS_LSTM", "auto")
+            _default_dev = getattr(jax.config, "jax_default_device", None)
+            on_tpu = (
+                jax.default_backend() != "cpu"
+                and getattr(_default_dev, "platform", None) != "cpu"
+            )
+            if env != "0" and (env == "interpret" or on_tpu):
+                return bilstm_pallas(
+                    enc_params, x, mask, mm_dtype=self._mm_dtype(),
+                    interpret=env == "interpret",
+                )
+        return jax.vmap(
+            lambda xx, mm: self._encode(enc_params, xx, mm)
+        )(x, mask)
+
+    def encode_video(self, params, video, video_mask,
+                     deterministic=False):
+        """[B, F, video_size] -> [B, F, H] (ref module_net.py:160-163)."""
+        return self._encode_batched(
+            params["video_encoder"], video, video_mask, deterministic
+        )[0]
+
+    def encode_question(self, params, question, question_mask,
+                        deterministic=False):
         """[B, L, text_size] -> tokens [B, L, H], sentence [B, H]
         (ref module_net.py:151-158)."""
-        return jax.vmap(
-            lambda x, m: self._encode(params["text_encoder"], x, m)
-        )(question, question_mask)
+        return self._encode_batched(
+            params["text_encoder"], question, question_mask, deterministic
+        )
 
-    def encode_sentences(self, params, embeddings, mask):
+    def encode_sentences(self, params, embeddings, mask,
+                         deterministic=False):
         """Batch-encode standalone phrases (gold classes, filter vocab)."""
-        _, sent = jax.vmap(
-            lambda x, m: self._encode(params["text_encoder"], x, m)
-        )(embeddings, mask)
-        return sent
+        return self._encode_batched(
+            params["text_encoder"], embeddings, mask, deterministic
+        )[1]
 
     # -- the executor --------------------------------------------------------
 
@@ -1041,10 +1071,12 @@ class VideoNMN:
             question_feature = jnp.zeros((B_, cfg.hidden_size))
         else:
             video_frames = self.encode_video(
-                params, batch["video"], batch["video_mask"]
+                params, batch["video"], batch["video_mask"],
+                deterministic=deterministic,
             )
             token_features, question_feature = self.encode_question(
-                params, batch["question"], batch["question_mask"]
+                params, batch["question"], batch["question_mask"],
+                deterministic=deterministic,
             )
         aux_vec = None
         if batch.get("aux_emb") is not None:
@@ -1053,6 +1085,7 @@ class VideoNMN:
             aux_vec = self.encode_sentences(
                 params, ae.reshape(B_ * T_, La, td),
                 batch["aux_mask"].reshape(B_ * T_, La),
+                deterministic=deterministic,
             ).reshape(B_, T_, -1)
         rv, rf, ra = self.run_trace(
             params,

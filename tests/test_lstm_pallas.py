@@ -1,0 +1,122 @@
+"""Parity: the Pallas BiLSTM forward (ops/lstm.py bilstm_pallas) vs the
+differentiable lax.scan path it replaces on deterministic TPU forwards.
+
+The kernel carries (h, c) in VMEM scratch across a (batch-tile, time)
+grid and writes each token row once; the backward direction reads its
+blocks through reversed index maps. These tests run it under the Pallas
+interpreter (CPU) against jax.vmap(bilstm) and through the full NMN
+forward via STAIR_PALLAS_LSTM=interpret.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from stair_tpu.ops.lstm import bilstm, bilstm_pallas, init_lstm_params
+
+
+def _data(B, L, D, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    lens = rng.randint(1, L + 1, size=B)
+    mask = jnp.asarray(
+        (np.arange(L)[None] < lens[:, None]).astype(np.float32)
+    )
+    return x, mask
+
+
+@pytest.mark.parametrize("B,L,D,h,bb", [
+    (5, 9, 12, 8, 4),     # batch padding (5 % 4 != 0) + ragged masks
+    (8, 16, 24, 16, 8),   # single tile
+    (6, 4, 6, 8, 2),      # multiple tiles, tiny sequence
+])
+def test_pallas_bilstm_f32_parity(B, L, D, h, bb):
+    p = init_lstm_params(jax.random.PRNGKey(1), D, h)
+    x, mask = _data(B, L, D, seed=B)
+    ref_t, ref_s = jax.vmap(lambda xx, mm: bilstm(p, xx, mm))(x, mask)
+    out_t, out_s = bilstm_pallas(p, x, mask, interpret=True,
+                                 block_batch=bb)
+    np.testing.assert_allclose(np.asarray(ref_t), np.asarray(out_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bilstm_bf16_parity():
+    B, L, D, h = 7, 12, 20, 16
+    p = init_lstm_params(jax.random.PRNGKey(2), D, h)
+    x, mask = _data(B, L, D, seed=3)
+    ref_t, ref_s = jax.vmap(
+        lambda xx, mm: bilstm(p, xx, mm, mm_dtype=jnp.bfloat16)
+    )(x, mask)
+    out_t, out_s = bilstm_pallas(p, x, mask, mm_dtype=jnp.bfloat16,
+                                 interpret=True, block_batch=4)
+    np.testing.assert_allclose(np.asarray(ref_t), np.asarray(out_t),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(out_s),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_bilstm_all_padding_row():
+    """A fully-masked row (mask all zero) must yield zero tokens and the
+    zero initial state as its sentence feature, like the scan path."""
+    B, L, D, h = 4, 6, 10, 8
+    p = init_lstm_params(jax.random.PRNGKey(3), D, h)
+    x, mask = _data(B, L, D, seed=5)
+    mask = mask.at[2].set(0.0)
+    ref_t, ref_s = jax.vmap(lambda xx, mm: bilstm(p, xx, mm))(x, mask)
+    out_t, out_s = bilstm_pallas(p, x, mask, interpret=True,
+                                 block_batch=4)
+    np.testing.assert_allclose(np.asarray(ref_t), np.asarray(out_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(out_t[2])).max() == 0.0
+
+
+def test_nmn_forward_parity_with_pallas_lstm(monkeypatch):
+    """Full NMN deterministic forward: Pallas-LSTM encoders vs the scan
+    encoders, everything else held on the XLA executor path."""
+    from stair_tpu.testing import workload
+
+    cfg = workload.workload_config(
+        hidden_size=64, video_size=24, max_video_length=12
+    )
+    model, params = workload.build_model(cfg)
+    batch = workload.make_batch(cfg, batch_size=6, seed=7)
+    monkeypatch.setenv("STAIR_FUSED_EXEC", "0")
+    monkeypatch.setenv("STAIR_MEGA_EXEC", "0")
+    monkeypatch.setenv("STAIR_PALLAS_LSTM", "0")
+    ref = model.forward(params, batch, deterministic=True)
+    monkeypatch.setenv("STAIR_PALLAS_LSTM", "interpret")
+    out = model.forward(params, batch, deterministic=True)
+    for key in ("logits", "question_feature", "token_features"):
+        np.testing.assert_allclose(
+            np.asarray(ref[key]), np.asarray(out[key]),
+            rtol=2e-5, atol=2e-5, err_msg=key,
+        )
+
+
+def test_training_step_ignores_pallas_lstm(monkeypatch):
+    """deterministic=False (training) must keep the differentiable scan
+    even when the env asks for the kernel: grads flow through encoders."""
+    from stair_tpu.testing import workload
+
+    cfg = workload.workload_config(
+        hidden_size=32, video_size=16, max_video_length=8
+    )
+    model, params = workload.build_model(cfg)
+    batch = workload.make_batch(cfg, batch_size=4, seed=9)
+    monkeypatch.setenv("STAIR_PALLAS_LSTM", "interpret")
+
+    def loss(p):
+        out = model.forward(p, batch, rng=jax.random.PRNGKey(0),
+                            deterministic=False)
+        return jnp.sum(out["logits"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaf = g["video_encoder"]["fwd"]["wi"]
+    assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(leaf)).max() > 0
