@@ -223,7 +223,9 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
         wh_f = pf["wh"].astype(mm_dtype)
         wh_b = pb["wh"].astype(mm_dtype)
 
-    Bt = min(block_batch, B)
+    # Mosaic wants the sublane dim 8-aligned (or array-sized); round the
+    # tile up so small eval batches still lower on TPU.
+    Bt = min(block_batch, -(-B // 8) * 8)
     pad = (-B) % Bt
     if pad:
         xp_f = jnp.pad(xp_f, ((0, pad), (0, 0), (0, 0)))
