@@ -144,13 +144,18 @@ class VideoNMN:
         return transformer_encode(enc_params, x, mask)
 
     def _encode_batched(self, enc_params, x, mask, deterministic):
-        """[B, L, D] -> (tokens [B, L, H], sentence [B, H]).
+        """[B, L, D] -> (tokens [B, L, H], sentence [B, H], halves|None).
 
         Deterministic forwards on TPU route to the Pallas BiLSTM kernel
         (ops/lstm.py bilstm_pallas: recurrent state VMEM-resident over a
         (batch-tile, time) grid — no per-step output-stack HBM round
         trips). Training keeps the differentiable scan; STAIR_PALLAS_LSTM:
         auto (on for TPU), 0 (off), interpret (CPU interpreter).
+
+        ``halves`` is the (fwd [B, L, h], bwd [B, L, h]) pair straight
+        off the kernel (in compute dtype): the executor megakernel
+        consumes it directly so the concatenated [B, L, H] array — and
+        its HBM copy — is dead code in logits-only jits.
         """
         if self.config.encoder == "lstm" and deterministic:
             env = _os.environ.get("STAIR_PALLAS_LSTM", "auto")
@@ -160,13 +165,20 @@ class VideoNMN:
                 and getattr(_default_dev, "platform", None) != "cpu"
             )
             if env != "0" and (env == "interpret" or on_tpu):
+                dt = (
+                    jnp.bfloat16
+                    if self.config.compute_dtype == "bfloat16"
+                    else jnp.float32
+                )
                 return bilstm_pallas(
                     enc_params, x, mask, mm_dtype=self._mm_dtype(),
-                    interpret=env == "interpret",
+                    interpret=env == "interpret", token_dtype=dt,
+                    return_halves=True,
                 )
-        return jax.vmap(
+        tokens, sent = jax.vmap(
             lambda xx, mm: self._encode(enc_params, xx, mm)
         )(x, mask)
+        return tokens, sent, None
 
     def encode_video(self, params, video, video_mask,
                      deterministic=False):
@@ -181,7 +193,7 @@ class VideoNMN:
         (ref module_net.py:151-158)."""
         return self._encode_batched(
             params["text_encoder"], question, question_mask, deterministic
-        )
+        )[:2]
 
     def encode_sentences(self, params, embeddings, mask,
                          deterministic=False):
@@ -263,6 +275,8 @@ class VideoNMN:
         rng=None,
         deterministic: bool = True,
         aux_vec=None,     # [B, T, H] text encodings for spanless args
+        video_halves=None,   # optional (fwd, bwd) [B, F, H/2] encoder
+        token_halves=None,   # stacks, consumed only by the megakernel
     ):
         """Execute all programs; returns the final register files."""
         cfg = self.config
@@ -313,9 +327,21 @@ class VideoNMN:
             from stair_tpu.ops.mega_exec import mega_exec
 
             aux_in = None if aux_vec is None else aux_vec.astype(dt)
+
+            def halves(pair, fused):
+                # Kernel-produced halves skip the [.., H] concat (it
+                # becomes dead code); other producers split, matching
+                # the bilstm [fwd | bwd] feature layout.
+                if pair is not None:
+                    return tuple(p.astype(dt) for p in pair)
+                half = fused.shape[-1] // 2
+                return fused[..., :half], fused[..., half:]
+
             return mega_exec(
-                cfg, mods, tables, trace_fields, video_frames,
-                video_mask, token_features, token_mask, aux_vec=aux_in,
+                cfg, mods, tables, trace_fields,
+                halves(video_halves, video_frames),
+                video_mask, halves(token_halves, token_features),
+                token_mask, aux_vec=aux_in,
                 interpret=mega_env == "interpret",
             )
 
@@ -1069,14 +1095,17 @@ class VideoNMN:
             video_frames = jnp.zeros((B_, F_, cfg.hidden_size))
             token_features = jnp.zeros((B_, L_, cfg.hidden_size))
             question_feature = jnp.zeros((B_, cfg.hidden_size))
+            video_halves = token_halves = None
         else:
-            video_frames = self.encode_video(
-                params, batch["video"], batch["video_mask"],
-                deterministic=deterministic,
+            video_frames, _, video_halves = self._encode_batched(
+                params["video_encoder"], batch["video"],
+                batch["video_mask"], deterministic,
             )
-            token_features, question_feature = self.encode_question(
-                params, batch["question"], batch["question_mask"],
-                deterministic=deterministic,
+            token_features, question_feature, token_halves = (
+                self._encode_batched(
+                    params["text_encoder"], batch["question"],
+                    batch["question_mask"], deterministic,
+                )
             )
         aux_vec = None
         if batch.get("aux_emb") is not None:
@@ -1097,6 +1126,8 @@ class VideoNMN:
             rng=r_exec,
             deterministic=deterministic,
             aux_vec=aux_vec,
+            video_halves=video_halves,
+            token_halves=token_halves,
         )
 
         B = rv.shape[0]

@@ -176,25 +176,35 @@ def _bilstm_kernel(L, out_dtype):
                        tf_ref)
         hb = direction(xpb_ref, mb_ref, whb_ref, bb_ref, hb_s, cb_s,
                        tb_ref)
-        # Final carries = sentence feature; the block's index map is
-        # constant over t, so only the last write hits HBM.
+        # Final carries = sentence feature (always f32); the block's
+        # index map is constant over t, so only the last write hits HBM.
         hd = hf.shape[1]
-        sent_ref[:, :hd] = hf.astype(out_dtype)
-        sent_ref[:, hd:] = hb.astype(out_dtype)
+        sent_ref[:, :hd] = hf
+        sent_ref[:, hd:] = hb
 
     return kernel
 
 
 def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
-                  block_batch=512):
+                  block_batch=512, token_dtype=jnp.float32,
+                  return_halves=False):
     """Batched BiLSTM forward as one Pallas kernel.
 
     Args:
       x: [B, L, D] padded sequences; mask: [B, L] validity.
       mm_dtype: same contract as ``bilstm`` (matmul precision; state f32).
+      token_dtype: dtype the kernel writes token rows in. Passing the
+        model's compute dtype here rounds once (bitwise-identical to the
+        scan path's f32 tokens followed by an .astype) and halves the
+        write traffic; the sentence feature stays float32.
+      return_halves: also return the per-direction token stacks
+        ([B, L, h] fwd, [B, L, h] bwd) so a downstream kernel can consume
+        them without materializing the concatenated [B, L, 2h] array.
     Returns:
-      (token_features [B, L, 2h], sentence [B, 2h]) float32, numerically
-      matching ``jax.vmap(bilstm)``'s hoisted-projection math.
+      (token_features [B, L, 2h], sentence [B, 2h]) — tokens in
+      ``token_dtype``, sentence float32 — numerically matching
+      ``jax.vmap(bilstm)``'s hoisted-projection math; with
+      ``return_halves``, a third element (tok_fwd, tok_bwd).
 
     Layout note (Mosaic wants the last two block dims (8k, 128k)-aligned
     or array-sized): time is flattened into the minor axis — xp ships as
@@ -242,7 +252,7 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     tok_f, tok_b, sent = pl.pallas_call(
-        _bilstm_kernel(L, jnp.float32),
+        _bilstm_kernel(L, token_dtype),
         grid=(Bp // Bt, L),
         in_specs=[
             pl.BlockSpec((Bt, 4 * h), lambda i, t: (i, t),
@@ -264,8 +274,8 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, L * h), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, L * h), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
+            jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
             jax.ShapeDtypeStruct((Bp, 2 * h), jnp.float32),
         ],
         scratch_shapes=[
@@ -277,9 +287,11 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
         interpret=interpret,
     )(xp_f, xp_b, mask_t, mask_t, wh_f, wh_b, bias_f, bias_b)
 
-    tokens = jnp.concatenate([
-        tok_f[:B].reshape(B, L, h), tok_b[:B].reshape(B, L, h)
-    ], axis=-1)
+    tok_f = tok_f[:B].reshape(B, L, h)
+    tok_b = tok_b[:B].reshape(B, L, h)
+    tokens = jnp.concatenate([tok_f, tok_b], axis=-1)
+    if return_halves:
+        return tokens, sent[:B], (tok_f, tok_b)
     return tokens, sent[:B]
 
 

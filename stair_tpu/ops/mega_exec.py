@@ -111,7 +111,8 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
     OP_FFK = int(Opcode.FILTERFRAME_K)
     OP_REL = int(Opcode.RELATE)
 
-    def kernel(s_ref, video_ref, vm_ref, tok_ref, tm_ref, aux_ref,
+    def kernel(s_ref, vfa_ref, vfb_ref, vm_ref, toka_ref, tokb_ref,
+               tm_ref, aux_ref,
                w1u_ref, b1u_ref, w2u_ref, b2u_ref, w2t_ref, b2t_ref,
                fdw_ref, fdb_ref, cw_ref, cb_ref, eqw_ref, eqb_ref,
                xw_ref, xb_ref, qw_ref, qb_ref, taw1_ref, tab1_ref,
@@ -125,11 +126,16 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
         vmask_b = vm > 0
 
         # ---- register-file init ---------------------------------------
+        # Encoded video arrives as the BiLSTM's two direction stacks;
+        # the [F, H] concat happens here in VMEM instead of in an XLA
+        # copy over HBM (the fused array is dead code in logits jits).
         rv_s[...] = jnp.zeros((Nv, H), dt)
         ra_s[...] = jnp.zeros((Na, F), dt)
         rf_s[...] = jnp.zeros((Nf, F, H), dt)
-        rf_s[0] = (video_ref[0].astype(jnp.float32)
-                   * vm[:, None]).astype(dt)
+        video = jnp.concatenate(
+            [vfa_ref[0], vfb_ref[0]], axis=-1
+        )                                                    # [F, H] dt
+        rf_s[0] = (video.astype(jnp.float32) * vm[:, None]).astype(dt)
 
         def lin_dt(x, w_ref, b_row):
             """dt matmul + dt bias add, mirroring modules.linear under
@@ -196,9 +202,13 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                            & (pos[0] < se)).astype(jnp.float32)
                 span_w = jnp.where(ss < 0, valid,
                                    in_span * valid).astype(dt)
-                tok = tok_ref[0]                             # [L, H] dt
-                push = (jnp.dot(span_w[None, :], tok,
-                                preferred_element_type=jnp.float32)
+                # Span mean per direction stack, concatenated — column-
+                # wise identical to the fused [L, H] dot.
+                pa = jnp.dot(span_w[None, :], toka_ref[0],
+                             preferred_element_type=jnp.float32)
+                pb = jnp.dot(span_w[None, :], tokb_ref[0],
+                             preferred_element_type=jnp.float32)
+                push = (jnp.concatenate([pa, pb], axis=-1)
                         / jnp.maximum(jnp.sum(
                             span_w.astype(jnp.float32)), 1.0))[0]
                 sel_t = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
@@ -488,20 +498,27 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
     return kernel
 
 
-def mega_exec(cfg, mods, tables, trace_fields, video_frames, video_mask,
-              token_features, token_mask, aux_vec=None, interpret=False):
+def mega_exec(cfg, mods, tables, trace_fields, video_halves, video_mask,
+              token_halves, token_mask, aux_vec=None, interpret=False):
     """Run the whole executor scan as one Pallas kernel.
 
     Inputs mirror ``VideoNMN.run_trace``'s scan state: ``trace_fields``
-    is the [B, T] int32 field dict, ``video_frames`` [B, F, H] encoded
-    video (dt), masks [B, F]/[B, L], ``token_features`` [B, L, H] dt,
-    ``aux_vec`` [B, T, H] or None. Returns the three final register
-    files (rv [B, Nv+1, H], rf [B, Nf+1, F, H], ra [B, Na+1, F]) in dt.
+    is the [B, T] int32 field dict, ``video_halves`` /``token_halves``
+    are the BiLSTM direction stacks ((fwd, bwd) [B, F|L, H/2] dt pairs —
+    concatenated in VMEM, so no fused [.., H] array is materialized),
+    masks [B, F]/[B, L], ``aux_vec`` [B, T, H] or None. Returns the
+    three final register files (rv [B, Nv+1, H], rf [B, Nf+1, F, H],
+    ra [B, Na+1, F]) in dt.
     """
-    B, F, H = video_frames.shape
-    L = token_features.shape[1]
+    vf_a, vf_b = video_halves
+    tok_a, tok_b = token_halves
+    B, F, Hh = vf_a.shape
+    H = 2 * Hh
+    assert vf_b.shape == vf_a.shape
+    assert tok_a.shape[-1] == Hh and tok_b.shape == tok_a.shape
+    L = tok_a.shape[1]
     T = trace_fields["opcode"].shape[1]
-    dt = video_frames.dtype
+    dt = vf_a.dtype
     Nv, Nf, Na = cfg.num_vec + 1, cfg.num_frames + 1, cfg.num_attn + 1
 
     # ---- scalar pack: [B, T, NSF] int32 --------------------------------
@@ -565,9 +582,9 @@ def mega_exec(cfg, mods, tables, trace_fields, video_frames, video_mask,
 
     args = (
         scal,
-        video_frames,
+        vf_a, vf_b,
         video_mask.astype(dt).reshape(B, 1, F),
-        token_features.astype(dt),
+        tok_a, tok_b,
         token_mask.astype(dt).reshape(B, 1, L),
         aux_vec.astype(dt),
         tables["w1u"], tables["b1u"][:, None, :],
@@ -601,12 +618,14 @@ def mega_exec(cfg, mods, tables, trace_fields, video_frames, video_mask,
 
     in_specs = [
         pl.BlockSpec((1, T, NSF), im_example, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, F, H), im_example, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F, Hh), im_example, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F, Hh), im_example, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, F), im_example, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, H), im_example, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, Hh), im_example, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, Hh), im_example, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, L), im_example, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, H), im_example, memory_space=pltpu.VMEM),
-    ] + [full() for _ in range(len(args) - 6)]
+    ] + [full() for _ in range(len(args) - 8)]
 
     kernel = _make_kernel(T, Nv, Nf, Na, F, H, L, dt)
     rv, rf, ra = pl.pallas_call(
