@@ -498,17 +498,16 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
     return kernel
 
 
-def mega_exec(cfg, mods, tables, trace_fields, video_halves, video_mask,
-              token_halves, token_mask, aux_vec=None, interpret=False):
-    """Run the whole executor scan as one Pallas kernel.
+def prepare_args(cfg, mods, tables, trace_fields, video_halves,
+                 video_mask, token_halves, token_mask, aux_vec=None):
+    """Pack the executor's inputs into the kernel argument tuple.
 
-    Inputs mirror ``VideoNMN.run_trace``'s scan state: ``trace_fields``
-    is the [B, T] int32 field dict, ``video_halves`` /``token_halves``
-    are the BiLSTM direction stacks ((fwd, bwd) [B, F|L, H/2] dt pairs —
-    concatenated in VMEM, so no fused [.., H] array is materialized),
-    masks [B, F]/[B, L], ``aux_vec`` [B, T, H] or None. Returns the
-    three final register files (rv [B, Nv+1, H], rf [B, Nf+1, F, H],
-    ra [B, Na+1, F]) in dt.
+    Kept as a separate (fully differentiable) XLA stage so the training
+    path can wrap ONLY the pallas_call in a custom VJP — the concat/cast
+    /banding transposes here are then handled by autodiff, and the
+    hand-written backward kernel only owes gradients for the prepared
+    arrays. Returns ``(meta, args)`` with ``meta`` a hashable geometry
+    tuple consumed by ``forward_call``.
     """
     vf_a, vf_b = video_halves
     tok_a, tok_b = token_halves
@@ -609,6 +608,14 @@ def mega_exec(cfg, mods, tables, trace_fields, video_halves, video_mask,
         row(mods["relate"]["beta"][:F]),
         t1m, t2m, t3m, tb1, tb2, tb3,
     )
+    meta = (B, T, Nv, Nf, Na, F, H, Hh, L, jnp.dtype(dt).name)
+    return meta, args
+
+
+def forward_call(meta, args, interpret=False):
+    """The forward pallas_call over prepared args (see prepare_args)."""
+    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name = meta
+    dt = jnp.dtype(dt_name)
 
     def im_example(i):
         return (i, 0, 0)
@@ -659,3 +666,22 @@ def mega_exec(cfg, mods, tables, trace_fields, video_halves, video_mask,
         interpret=interpret,
     )(*args)
     return rv, rf, ra
+
+
+def mega_exec(cfg, mods, tables, trace_fields, video_halves, video_mask,
+              token_halves, token_mask, aux_vec=None, interpret=False):
+    """Run the whole executor scan as one Pallas kernel.
+
+    Inputs mirror ``VideoNMN.run_trace``'s scan state: ``trace_fields``
+    is the [B, T] int32 field dict, ``video_halves`` /``token_halves``
+    are the BiLSTM direction stacks ((fwd, bwd) [B, F|L, H/2] dt pairs —
+    concatenated in VMEM, so no fused [.., H] array is materialized),
+    masks [B, F]/[B, L], ``aux_vec`` [B, T, H] or None. Returns the
+    three final register files (rv [B, Nv+1, H], rf [B, Nf+1, F, H],
+    ra [B, Na+1, F]) in dt.
+    """
+    meta, args = prepare_args(
+        cfg, mods, tables, trace_fields, video_halves, video_mask,
+        token_halves, token_mask, aux_vec=aux_vec,
+    )
+    return forward_call(meta, args, interpret=interpret)
