@@ -40,6 +40,11 @@ def main():
                          "executor (STAIR_REV=1) alternately in one "
                          "process, so shared-host/chip contention hits "
                          "both arms equally")
+    ap.add_argument("--ab-mega", action="store_true",
+                    help="time the autodiff scan vs the training "
+                         "megakernel (STAIR_MEGA_TRAIN=auto, "
+                         "ops/mega_grad.py custom VJP) alternately in "
+                         "one process")
     ap.add_argument("--ab-rounds", type=int, default=3)
     args = ap.parse_args()
     jax.config.update("jax_default_prng_impl", args.prng)
@@ -109,12 +114,15 @@ def main():
 
     rng = jax.random.PRNGKey(0)
 
-    if args.ab_rev:
+    if args.ab_rev or args.ab_mega:
         import os
 
+        var = "STAIR_REV" if args.ab_rev else "STAIR_MEGA_TRAIN"
+        alt = "1" if args.ab_rev else "auto"
+        alt_name = "reversible" if args.ab_rev else "megakernel"
         arms = {}
-        for name, env in (("autodiff", "0"), ("reversible", "1")):
-            os.environ["STAIR_REV"] = env
+        for name, env in (("autodiff", "0"), (alt_name, alt)):
+            os.environ[var] = env
             fn = make_chained()
             t0 = time.perf_counter()
             _, _, losses = fn(params, opt_state, rng)

@@ -323,7 +323,20 @@ class VideoNMN:
             and mega_env != "0"
             and (mega_env == "interpret" or _on_tpu)
         )
-        if use_mega:
+        # Training megakernel (ops/mega_grad.py): forward with in-kernel
+        # hash-counter dropout + a hand-written Pallas backward walking
+        # the SSA registers in reverse (no stacked residuals, register
+        # files and weight-grad accumulators VMEM-resident).
+        # STAIR_MEGA_TRAIN: 0 (default off), auto (on for TPU),
+        # interpret (CPU interpreter, for grad parity tests).
+        mtrain_env = _os.environ.get("STAIR_MEGA_TRAIN", "0")
+        use_mega_train = (
+            not deterministic and is_parity and not _ABLATE
+            and mtrain_env != "0"
+            and (mtrain_env == "interpret" or _on_tpu)
+        )
+
+        if use_mega or use_mega_train:
             from stair_tpu.ops.mega_exec import mega_exec
 
             aux_in = None if aux_vec is None else aux_vec.astype(dt)
@@ -337,6 +350,19 @@ class VideoNMN:
                 half = fused.shape[-1] // 2
                 return fused[..., :half], fused[..., half:]
 
+            if use_mega_train:
+                from stair_tpu.ops.mega_grad import mega_exec_train
+
+                seed = jax.random.randint(
+                    rng, (2,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                return mega_exec_train(
+                    cfg, mods, tables, trace_fields,
+                    halves(video_halves, video_frames),
+                    video_mask, halves(token_halves, token_features),
+                    token_mask, rate, seed, aux_vec=aux_in,
+                    interpret=mtrain_env == "interpret",
+                )
             return mega_exec(
                 cfg, mods, tables, trace_fields,
                 halves(video_halves, video_frames),

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,6 +48,39 @@ from stair_tpu.models.modules import conv1d_same_matrix
 NSF = 17
 
 _COS_EPS = 1e-8
+
+
+def _i32(x):
+    """Python int (possibly > 2^31) -> wrapped int32 constant."""
+    return jnp.int32(np.int32(np.uint32(x)))
+
+
+def hash_keep(shape, b, t, site, seed0, seed1, rate):
+    """Deterministic counter-based dropout mask: [shape] f32 of
+    {0, 1/(1-rate)}.
+
+    A murmur3-style integer hash over (element index, example, step,
+    site, seed) — identical bits in the forward and backward kernels
+    (and under the Pallas interpreter, where pltpu.prng_* has no
+    lowering), so masks are reproduced instead of stored. Quality needs
+    are modest (independent Bernoulli keeps for dropout); the finalizer
+    passes that bar.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    h = r * _i32(0x9E3779B1) + c * _i32(0x85EBCA77)
+    h = h ^ (seed0 + b * _i32(0xC2B2AE3D) + t * _i32(0x27D4EB2F)
+             + site * _i32(0x165667B1))
+    h = h + seed1
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * _i32(0x85EBCA6B)
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * _i32(0xC2B2AE35)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    u = jax.lax.shift_right_logical(h, 8) & jnp.int32(0xFFFFFF)
+    thresh = jnp.int32(int(rate * float(1 << 24)))
+    return jnp.where(u >= thresh, jnp.float32(1.0 / (1.0 - rate)),
+                     jnp.float32(0.0))
 
 
 def _onehot_row(idx, n):
@@ -86,7 +120,7 @@ def _masked_softmax_f(x, mask):
     return e / jnp.maximum(jnp.sum(e), 1e-30)
 
 
-def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
+def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False):
     OP_PUSH = int(Opcode.PUSH_TEXT)
     OP_ANDV = int(Opcode.AND_VEC)
     OP_ANDA = int(Opcode.AND_ATTN)
@@ -120,10 +154,26 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                supw_ref, supb_ref, ffwf_ref, ffkw_ref, ffab_ref,
                lns_ref, lnb_ref, beta_ref,
                t1_ref, t2_ref, t3_ref, tb1_ref, tb2_ref, tb3_ref,
-               rv_out, rf_out, ra_out,
-               rv_s, rf_s, ra_s, feat_s, nv_s):
+               *rest):
+        if train:
+            seed_ref = rest[0]
+            rest = rest[1:]
+        (rv_out, rf_out, ra_out,
+         rv_s, rf_s, ra_s, feat_s, nv_s) = rest
         vm = vm_ref[0, 0].astype(jnp.float32)                # [F]
         vmask_b = vm > 0
+
+        if train and rate > 0.0:
+            bidx = pl.program_id(0)
+
+            def drop(x32, t, site):
+                return x32 * hash_keep(
+                    x32.shape, bidx, t, site,
+                    seed_ref[0], seed_ref[1], rate,
+                )
+        else:
+            def drop(x32, t, site):
+                return x32
 
         # ---- register-file init ---------------------------------------
         # Encoded video arrives as the BiLSTM's two direction stacks;
@@ -182,10 +232,14 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                 w2 = w2u_ref[pl.ds(e1, 1)][0]
                 b2 = b2u_ref[pl.ds(e1, 1)][0]
                 h = jnp.dot(fa, w1, preferred_element_type=jnp.float32)
-                h = jax.nn.relu(h + b1.astype(jnp.float32)).astype(dt)
+                h = drop(
+                    jax.nn.relu(h + b1.astype(jnp.float32)), t, 0
+                ).astype(dt)
                 h2 = jnp.dot(h, w2, preferred_element_type=jnp.float32)
                 h2 = h2 + b2.astype(jnp.float32)             # [F, H] f32
-                feat32 = jnp.where(is_filter, jax.nn.relu(h2), h2)
+                feat32 = jnp.where(
+                    is_filter, drop(jax.nn.relu(h2), t, 1), h2
+                )
                 feat_s[...] = feat32.astype(dt)
 
             # ---- vec candidates ---------------------------------------
@@ -267,9 +321,10 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
 
             @pl.when(op == OP_QUERY)
             def _query():
-                nv_s[...] = jax.nn.relu(
-                    lin_dt(va[None, :], qw_ref, qb_ref[...])
-                )
+                q = jax.nn.relu(lin_dt(va[None, :], qw_ref, qb_ref[...]))
+                nv_s[...] = drop(
+                    q.astype(jnp.float32), t, 4
+                ).astype(dt)
 
             @pl.when(op == OP_TOA)
             def _toaction():
@@ -278,6 +333,7 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                      + jnp.dot(vb.astype(dt)[None, :], taw1_ref[H:],
                                preferred_element_type=jnp.float32))
                 h = jax.nn.relu(y.astype(dt) + tab1_ref[...].astype(dt))
+                h = drop(h.astype(jnp.float32), t, 5).astype(dt)
                 nv_s[...] = jax.nn.relu(lin_dt(h, taw2_ref,
                                                tab2_ref[...]))
 
@@ -292,8 +348,11 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                      + jnp.dot(prod, exw1_ref[2 * H:],
                                preferred_element_type=jnp.float32))
                 h = jax.nn.relu(y.astype(dt) + exb1_ref[...].astype(dt))
-                nv_s[...] = jax.nn.relu(lin_dt(h, exw2_ref,
-                                               exb2_ref[...]))
+                h = drop(h.astype(jnp.float32), t, 6).astype(dt)
+                ex = jax.nn.relu(lin_dt(h, exw2_ref, exb2_ref[...]))
+                nv_s[...] = drop(
+                    ex.astype(jnp.float32), t, 7
+                ).astype(dt)
 
             @pl.when((op == OP_FV) | (op == OP_FK))
             def _filter():
@@ -396,7 +455,7 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                              preferred_element_type=jnp.float32)
                 y2 = y2 + b2t_ref[0].astype(jnp.float32)
                 rf_s[pl.ds(s(F_OUT_F), 1)] = (
-                    jax.nn.relu(y2) * vm[:, None]
+                    drop(jax.nn.relu(y2), t, 2) * vm[:, None]
                 ).astype(dt)[None]
 
             @pl.when(op == OP_TEMP)
@@ -427,7 +486,7 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
                 y2 = jnp.dot(x2, w2t_ref[1],
                              preferred_element_type=jnp.float32)
                 y2 = y2 + b2t_ref[1].astype(jnp.float32)
-                ry = jax.nn.relu(y2)
+                ry = drop(jax.nn.relu(y2), t, 2)
                 mu = jnp.mean(ry, axis=-1, keepdims=True)
                 var = jnp.mean(jnp.square(ry - mu), axis=-1,
                                keepdims=True)
@@ -457,8 +516,8 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt):
             def _hasitem():
                 # sigmoid of stage-1 expert-10 column 0.
                 col = feat_s[...].astype(jnp.float32)[:, 0]
-                _blend_write(ra_s, s(F_OUT_A),
-                             (jax.nn.sigmoid(col) * vm).astype(dt))
+                hv = drop(jax.nn.sigmoid(col)[None, :], t, 3)[0]
+                _blend_write(ra_s, s(F_OUT_A), (hv * vm).astype(dt))
 
             @pl.when(op == OP_EXF)
             def _existsframe():
@@ -612,10 +671,18 @@ def prepare_args(cfg, mods, tables, trace_fields, video_halves,
     return meta, args
 
 
-def forward_call(meta, args, interpret=False):
-    """The forward pallas_call over prepared args (see prepare_args)."""
+def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
+    """The forward pallas_call over prepared args (see prepare_args).
+
+    ``seed`` ([2] int32) switches on TRAIN mode: hash-counter dropout at
+    ``rate`` is applied at the same sites as the XLA training path
+    (``models/nmn.py heavy_stages`` / the per-module functions), with
+    masks derived from (seed, example, step, site) so the backward
+    kernel (``ops/mega_grad.py``) reproduces them instead of storing.
+    """
     B, T, Nv, Nf, Na, F, H, Hh, L, dt_name = meta
     dt = jnp.dtype(dt_name)
+    train = seed is not None
 
     def im_example(i):
         return (i, 0, 0)
@@ -633,8 +700,12 @@ def forward_call(meta, args, interpret=False):
         pl.BlockSpec((1, 1, L), im_example, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, H), im_example, memory_space=pltpu.VMEM),
     ] + [full() for _ in range(len(args) - 8)]
+    if train:
+        args = tuple(args) + (jnp.asarray(seed, jnp.int32),)
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
-    kernel = _make_kernel(T, Nv, Nf, Na, F, H, L, dt)
+    kernel = _make_kernel(T, Nv, Nf, Na, F, H, L, dt,
+                          rate=rate if train else 0.0, train=train)
     rv, rf, ra = pl.pallas_call(
         kernel,
         grid=(B,),
