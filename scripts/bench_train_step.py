@@ -120,6 +120,11 @@ def main():
         var = "STAIR_REV" if args.ab_rev else "STAIR_MEGA_TRAIN"
         alt = "1" if args.ab_rev else "auto"
         alt_name = "reversible" if args.ab_rev else "megakernel"
+        # Pin BOTH kernel toggles so the "autodiff" arm is the plain XLA
+        # scan regardless of the model's env defaults (STAIR_MEGA_TRAIN
+        # defaults to auto on TPU since the accuracy study).
+        os.environ["STAIR_REV"] = "0"
+        os.environ["STAIR_MEGA_TRAIN"] = "0"
         arms = {}
         for name, env in (("autodiff", "0"), (alt_name, alt)):
             os.environ[var] = env

@@ -327,13 +327,21 @@ class VideoNMN:
         # hash-counter dropout + a hand-written Pallas backward walking
         # the SSA registers in reverse (no stacked residuals, register
         # files and weight-grad accumulators VMEM-resident).
-        # STAIR_MEGA_TRAIN: 0 (default off), auto (on for TPU),
-        # interpret (CPU interpreter, for grad parity tests).
-        mtrain_env = _os.environ.get("STAIR_MEGA_TRAIN", "0")
+        # STAIR_MEGA_TRAIN: auto (default: on for TPU), 0 (off),
+        # interpret (CPU interpreter, for grad parity tests). Default
+        # flipped to auto after the accuracy study (scripts/
+        # run_mega_train_study.sh): megakernel arms matched or beat the
+        # autodiff control on held-out test at both seeds, at 3.8x the
+        # step rate.
+        mtrain_env = _os.environ.get("STAIR_MEGA_TRAIN", "auto")
         use_mega_train = (
             not deterministic and is_parity and not _ABLATE
             and mtrain_env != "0"
             and (mtrain_env == "interpret" or _on_tpu)
+            # An explicit STAIR_REV=1 request wins over the auto default
+            # (the reversible executor is this path's measurement
+            # baseline / escape hatch).
+            and _os.environ.get("STAIR_REV", "0") == "0"
         )
 
         if use_mega or use_mega_train:

@@ -463,6 +463,16 @@ def main(args=None):
         try:
             mesh = make_mesh(args.mesh_dp, args.mesh_tp)
             print("mesh:", dict(mesh.shape))
+            # The executor Pallas kernels run under plain jit + GSPMD
+            # sharding annotations; GSPMD cannot partition a pallas_call
+            # over the dp axis, so they default OFF under an active mesh
+            # (set the env vars explicitly to force them; the XLA scan
+            # path is the sharding-validated one, tests/test_training.py
+            # sharded-parity).
+            os.environ.setdefault("STAIR_MEGA_TRAIN", "0")
+            os.environ.setdefault("STAIR_MEGA_EXEC", "0")
+            os.environ.setdefault("STAIR_FUSED_EXEC", "0")
+            os.environ.setdefault("STAIR_PALLAS_LSTM", "0")
         except ValueError as err:
             print("mesh unavailable, running single-device:", err)
 
