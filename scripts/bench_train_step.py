@@ -47,6 +47,9 @@ def main():
                          "one process")
     ap.add_argument("--ab-rounds", type=int, default=3)
     args = ap.parse_args()
+    if args.ab_rev and args.ab_mega:
+        ap.error("--ab-rev and --ab-mega are mutually exclusive "
+                 "(each A/B owns the process's env-var routing)")
     jax.config.update("jax_default_prng_impl", args.prng)
 
     cfg = workload.workload_config(

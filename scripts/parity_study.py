@@ -175,6 +175,116 @@ def args_count(args, split):
 
 
 # ---------------------------------------------------------------------------
+# Neural parser in the measured loop (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+def parser_loop(args):
+    """Train the seq2seq program parser on this world and measure it IN THE
+    LOOP: (a) program exact-match + validity rates, (b) NMN test accuracy
+    with *generated* programs via the upgrade path (vs ground-truth
+    programs, same checkpoint), (c) batched beam-decode throughput.
+
+    Mirrors the reference's deployed configuration (README.md:87-135: LSTM
+    parser -> program layouts -> NMN inference). Requires a finished
+    ``ours`` run (the NMN checkpoint under ``<root>/<ours_run>``)."""
+    from types import SimpleNamespace
+
+    from stair_tpu.programs import preprocess as prep
+    from stair_tpu.seq2seq import train as parser_cli
+    from stair_tpu.train import evaluate as eval_cli
+    from stair_tpu.train.args import get_args
+
+    out = os.path.join(args.root, "out")
+    run = os.path.join(args.root, args.ours_run)
+    parser_dir = os.path.join(args.root, f"parser_{args.parser_arch}")
+    results = {"arch": args.parser_arch, "epochs": args.parser_epochs}
+
+    t0 = time.time()
+    parser_cli.main([
+        "--func", "train", "--arch", args.parser_arch,
+        "--train-filename", os.path.join(out, "train.pkl"),
+        "--valid-filename", os.path.join(out, "valid.pkl"),
+        "--output", parser_dir,
+        "--num-epochs", str(args.parser_epochs),
+        "--batch-size", "64", "--report-interval", "200",
+    ])
+    results["train_seconds"] = round(time.time() - t0, 1)
+
+    # --- (a) exact match + (c) decode throughput -------------------------
+    model, params, sv, tv = parser_cli.load_parser(parser_dir)
+    pairs = parser_cli.load_pairs(os.path.join(out, "test.pkl"))
+    da = SimpleNamespace(batch_size=256, beam_size=5,
+                         max_src_len=32, max_tgt_len=48)
+    # Warm pass compiles the beam scan; the timed pass measures the
+    # batched decode rate the serving path would see.
+    list(parser_cli.decode_beams(model, params, sv, tv, pairs[:256], da))
+    t0 = time.time()
+    decoded = list(parser_cli.decode_beams(model, params, sv, tv, pairs, da))
+    dt = time.time() - t0
+    results["decode_qps"] = round(len(pairs) / dt, 1)
+    results["exact_match_top1"] = round(sum(
+        1 for (qa, _q, beams), (_, _, gold, _) in zip(decoded, pairs)
+        if beams and beams[0] == gold
+    ) / max(len(pairs), 1), 4)
+
+    tsv = os.path.join(parser_dir, "gen_test.tsv")
+    with open(tsv, "w") as f:
+        for qa_id, question, beams in decoded:
+            for beam in beams:
+                f.write("%s\t%s\t%s\n" % (qa_id, question, " ".join(beam)))
+    va = SimpleNamespace(result_filename=tsv)
+    top1_valid, any_valid = parser_cli.check_valid(va)
+    results["valid_top1"] = round(top1_valid, 4)
+    results["valid_any_beam"] = round(any_valid, 4)
+
+    # --- (b) NMN accuracy with generated programs ------------------------
+    gen_pkl = os.path.join(out, "test_generated.pkl")
+    prep.main([
+        "--func", "upgrade", "--generated-format", "huggingface",
+        "--src-data-filename", os.path.join(out, "test.pkl"),
+        "--dest-data-filename", gen_pkl, "--generated-filename", tsv,
+    ])
+
+    def nmn_acc(test_pkl, result_name):
+        eargs = get_args(_common_flags(args) + [
+            "--output", run,
+            "--model-ckpt", os.path.join(run, "best_model"),
+            "--evaluate-func", "acc",
+            "--result-filename", result_name,
+            "--batch-size", str(args.batch_size),
+            "--test-filename", test_pkl,   # last --test-filename wins
+        ] + (["--encoder", args.encoder]
+             if args.encoder != "lstm" else [])
+          + (["--filter-attention", args.filter_attention]
+             if args.filter_attention != "parity" else [])
+          + (["--contrastive-window", str(args.contrastive_window)]
+             if args.contrastive_window else []))
+        return eval_cli.main(eargs)
+
+    results["nmn_acc_gold_programs"] = round(
+        float(nmn_acc(os.path.join(out, "test.pkl"), "test_preds_gold.json")),
+        4)
+    results["nmn_acc_generated_programs"] = round(
+        float(nmn_acc(gen_pkl, "test_preds_generated.json")), 4)
+    results["n_test"] = len(pairs)
+
+    print("parser_loop:", json.dumps(results, indent=1))
+    with open(os.path.join(args.root, "parser_loop.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    # Merge into the repo PARITY.json when present.
+    parity_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.json")
+    if os.path.exists(parity_path):
+        with open(parity_path) as f:
+            parity = json.load(f)
+        parity.setdefault("parser_loop", {})[args.parser_arch] = results
+        with open(parity_path, "w") as f:
+            json.dump(parity, f, indent=1)
+        print("merged into", parity_path)
+    return results
+
+
+# ---------------------------------------------------------------------------
 # Reference run (PyTorch, batch-1 eager)
 # ---------------------------------------------------------------------------
 
@@ -434,7 +544,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--func", required=True,
                     choices=["build", "ours", "reference", "reference_eval",
-                             "report"])
+                             "report", "parser_loop"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--num-videos", type=int, default=250)
     ap.add_argument("--questions-per-video", type=int, default=44)
@@ -466,6 +576,10 @@ def main(argv=None):
                          "(reference accumulation-window negatives parity)")
     ap.add_argument("--rand-seed", type=int, default=1,
                     help="stair-tpu trainer seed for independent retrains")
+    ap.add_argument("--parser-arch", default="lstm",
+                    choices=["lstm", "transformer", "t5"],
+                    help="seq2seq arch for --func parser_loop")
+    ap.add_argument("--parser-epochs", type=int, default=15)
     args = ap.parse_args(argv)
     if args.func == "build":
         build(args)
@@ -476,6 +590,8 @@ def main(argv=None):
         reference_eval(args)
     elif args.func == "reference_eval":
         reference_eval(args)
+    elif args.func == "parser_loop":
+        parser_loop(args)
     else:
         report(args)
 

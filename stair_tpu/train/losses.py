@@ -76,7 +76,7 @@ def encode_class_table(model, params, batch):
     return jax.lax.stop_gradient(reps)
 
 
-def filterframe_loss(model, params, out, batch):
+def filterframe_loss(model, params, out, batch, axis_name=None):
     """BCE between the softmaxed [F, object_types] FilterFrame grid and the
     normalized gold occurrence grid (ref train_module.py:141-155). Sparse:
     only the batch's packed FilterFrame slots are scored. Excluded from
@@ -87,6 +87,17 @@ def filterframe_loss(model, params, out, batch):
     rf = out["regs_frames"]
     ffb = batch["ff_index"][:, 0]
     fft = batch["ff_index"][:, 1]
+    valid = batch["ff_valid"]
+    if axis_name is not None:
+        # Under shard_map the slot table carries GLOBAL batch indices but
+        # ``rf`` holds only this shard's examples: remap to local indices
+        # and zero out-of-shard slots (each slot is counted by exactly one
+        # shard; the step-level psum restores the global sums).
+        B = rf.shape[0]
+        ffb = ffb - jax.lax.axis_index(axis_name) * B
+        in_shard = (ffb >= 0) & (ffb < B)
+        valid = valid * in_shard.astype(valid.dtype)
+        ffb = jnp.clip(ffb, 0, B - 1)
     frames_out = rf[ffb, tr["out_frames"][ffb, fft]]        # [S, F, H]
     head = params["modules"]["heads"]["filterframe"]
     logits = linear(head, frames_out)                       # [S, F, C]
@@ -95,12 +106,11 @@ def filterframe_loss(model, params, out, batch):
     gold = batch["ff_gold"]
     bce = -(gold * jnp.log(pred) + (1.0 - gold) * jnp.log(1.0 - pred))
     per_slot = jnp.mean(bce, axis=(1, 2))                   # [S]
-    valid = batch["ff_valid"]
     return jnp.sum(per_slot * valid), jnp.sum(valid)
 
 
 def supervision_losses(model, params, out, batch, train_filterframe=False,
-                       contrastive_window=0):
+                       contrastive_window=0, axis_name=None):
     """All intermediate losses + decoder CE.
 
     Returns (scalars dict, telemetry) where scalars contains ``module_loss``
@@ -204,6 +214,10 @@ def supervision_losses(model, params, out, batch, train_filterframe=False,
         # OTHER window classes as negatives). In-batch (window=0) uses
         # every class in the batch — more negatives, a strictly harder
         # contrastive task.
+        # Under shard_map (axis_name set) the local ``arange(B)//W``
+        # grouping equals the global grouping iff W divides the per-shard
+        # batch (shards are contiguous slices); make_train_step enforces
+        # that before choosing the shard_map route.
         W = contrastive_window
         G = -(-B // W)
         group_of_b = jnp.arange(B) // W                         # [B]
@@ -244,7 +258,9 @@ def supervision_losses(model, params, out, batch, train_filterframe=False,
     loss_counts = loss_counts.at[didx].add(B)
 
     # --- FilterFrame (optional; off unless the caller adds it) -----------
-    ff_sum, ff_count = filterframe_loss(model, params, out, batch)
+    ff_sum, ff_count = filterframe_loss(
+        model, params, out, batch, axis_name=axis_name
+    )
     fidx = _FAMILY_INDEX["FilterFrame"]
     loss_sums = loss_sums.at[fidx].add(ff_sum)
     loss_counts = loss_counts.at[fidx].add(ff_count)
@@ -299,6 +315,7 @@ def total_loss(
     deterministic: bool = False,
     train_filterframe: bool = False,
     contrastive_window: int = 0,
+    axis_name: str | None = None,
 ):
     """Full training objective; returns (loss, aux).
 
@@ -308,7 +325,7 @@ def total_loss(
     out = model.forward(params, batch, rng=rng, deterministic=deterministic)
     scalars, telemetry = supervision_losses(
         model, params, out, batch, train_filterframe=train_filterframe,
-        contrastive_window=contrastive_window,
+        contrastive_window=contrastive_window, axis_name=axis_name,
     )
     answer_loss = scalars["decoder_loss"]
     if batch.get("cand_emb") is not None:

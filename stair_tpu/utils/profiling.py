@@ -29,6 +29,50 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class GCTimer:
+    """Accumulate CPython garbage-collection pause time via gc.callbacks.
+
+    Host stalls in an async-dispatch training loop are invisible to device
+    profilers; gen-2 collections over a large live heap (datasets, packed
+    batches) are a classic periodic-stall suspect, so the trainer reports
+    the pause total per metrics window (``perf/gc_ms``)."""
+
+    def __init__(self):
+        import gc
+
+        self.total = 0.0
+        self.collections = 0
+        self._t0 = None
+        gc.callbacks.append(self._cb)
+
+    def _cb(self, phase, info):
+        if phase == "start":
+            self._t0 = time.perf_counter()
+        elif self._t0 is not None:
+            self.total += time.perf_counter() - self._t0
+            self.collections += 1
+            self._t0 = None
+
+    def take(self) -> tuple[float, int]:
+        """Return (seconds, collections) since the last take()."""
+        out = (self.total, self.collections)
+        self.total, self.collections = 0.0, 0
+        return out
+
+
+def async_fetch(tree):
+    """Start device->host copies for every array in ``tree`` without
+    blocking: a later ``jax.device_get`` then finds the data already on
+    host instead of paying one blocking round trip PER LEAF (through a
+    tunneled device link that per-leaf sync is the dominant stall)."""
+    def start(x):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+        return x
+
+    return jax.tree_util.tree_map(start, tree)
+
+
 class StepTimer:
     """Track step wall-times; report mean/p50/p99."""
 
