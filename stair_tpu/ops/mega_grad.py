@@ -63,6 +63,16 @@ import os as _os
 _SKIP = frozenset(
     s for s in _os.environ.get("STAIR_MEGA_BWD_SKIP", "").split(",") if s
 )
+if _SKIP:  # debugging aid only: gradients are silently WRONG with it set
+    import warnings
+
+    warnings.warn(
+        "STAIR_MEGA_BWD_SKIP is set (%s): the training megakernel will "
+        "SKIP those backward branches and produce wrong gradients. This "
+        "is a kernel-debugging knob, never a training configuration."
+        % ",".join(sorted(_SKIP)),
+        stacklevel=2,
+    )
 
 
 def _onehot_col(idx, n):
@@ -353,8 +363,11 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
             goab = selv32(gra_s, out_ab)                      # [F]
             # LOCALIZE count==1 aliases out_a == out_ab: the second write
             # (kb scores) wins, so out_a's cotangent must not ALSO flow
-            # through the overwritten ka write.
-            goa = jnp.where(out_a == out_ab, 0.0,
+            # through the overwritten ka write. Predicated on OP_LOC —
+            # only LOCALIZE may alias (lowering.py) — so a future
+            # attn-producing op with equal slots can't silently lose its
+            # gradient (ADVICE r3).
+            goa = jnp.where((op == OP_LOC) & (out_a == out_ab), 0.0,
                             selv32(gra_s, out_a))             # [F]
 
             gfeat_s[...] = jnp.zeros((F, H), jnp.float32)
@@ -375,8 +388,13 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
                               preferred_element_type=jnp.float32)
                       + b2.astype(jnp.float32))
                 m1 = dmask((F, H), t, 1)
-                feat_s[...] = jnp.where(is_filter,
-                                        jax.nn.relu(h2) * m1, h2)
+                # Round through dt: the forward stores feat dt-rounded
+                # (mega_exec feat_s is a dt scratch), so the backward must
+                # linearize at the dt values or borderline relu/compare
+                # bits can flip under bf16 (ADVICE r3).
+                feat_s[...] = jnp.where(
+                    is_filter, jax.nn.relu(h2) * m1, h2
+                ).astype(dt).astype(jnp.float32)
 
             # ================= vec producers =============================
             @when(op == OP_PUSH, 'push')
@@ -581,7 +599,10 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
                 dots = jnp.dot(featf, kw32[:, None],
                                preferred_element_type=jnp.float32)[:, 0]
                 cos = dots / jnp.maximum(nf * nk, _COS_EPS)
-                return (cos + 1.0) * 0.49 * vm, kw32
+                # dt-round like the forward's ``_loc_cos(..).astype(dt)``
+                # register write so score comparisons see identical bits.
+                scores = ((cos + 1.0) * 0.49 * vm).astype(dt)
+                return scores.astype(jnp.float32), kw32
 
             def _loc_bwd(gscore, kw32, va_idx):
                 """VJP through loc_cos + the localize.k projection."""

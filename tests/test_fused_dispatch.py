@@ -293,6 +293,7 @@ def test_hasitem_matches_module_fn(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_pallas_step_full_forward_parity(monkeypatch):
     """The fused Pallas executor step (deterministic path: in-kernel
     operand gathers, stage-1/2 expert MLPs, epilogues, pooling, hasitem,

@@ -44,6 +44,7 @@ def test_pallas_bilstm_f32_parity(B, L, D, h, bb):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_bilstm_bf16_parity():
     B, L, D, h = 7, 12, 20, 16
     p = init_lstm_params(jax.random.PRNGKey(2), D, h)
@@ -59,6 +60,7 @@ def test_pallas_bilstm_bf16_parity():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pallas_bilstm_all_padding_row():
     """A fully-masked row (mask all zero) must yield zero tokens and the
     zero initial state as its sentence feature, like the scan path."""
@@ -76,6 +78,7 @@ def test_pallas_bilstm_all_padding_row():
     assert np.abs(np.asarray(out_t[2])).max() == 0.0
 
 
+@pytest.mark.slow
 def test_nmn_forward_parity_with_pallas_lstm(monkeypatch):
     """Full NMN deterministic forward: Pallas-LSTM encoders vs the scan
     encoders, everything else held on the XLA executor path."""

@@ -130,6 +130,7 @@ def test_megakernel_all_opcodes_parity(monkeypatch):
     _compare(model, params, batch, monkeypatch)
 
 
+@pytest.mark.slow
 def test_megakernel_conv_temporal_parity(monkeypatch):
     """F > 32 flips the temporal stack to banded conv matrices."""
     cfg, model, params = _build(max_video_length=48)
@@ -138,6 +139,7 @@ def test_megakernel_conv_temporal_parity(monkeypatch):
     _compare(model, params, batch, monkeypatch)
 
 
+@pytest.mark.slow
 def test_megakernel_aux_embedding_parity(monkeypatch):
     """--use-prog-word-embeddings: missing spans lower to (-2, -2) and the
     executor substitutes the per-step auxiliary text encoding."""
@@ -148,6 +150,7 @@ def test_megakernel_aux_embedding_parity(monkeypatch):
     _compare(model, params, batch, monkeypatch)
 
 
+@pytest.mark.slow
 def test_megakernel_workload_pool_parity(monkeypatch):
     """Full forward over the bench workload's program pool (the shapes the
     TPU headline runs at, shrunk)."""
@@ -161,6 +164,7 @@ def test_megakernel_workload_pool_parity(monkeypatch):
     _compare(model, params, batch, monkeypatch)
 
 
+@pytest.mark.slow
 def test_megakernel_bf16_argmax_agreement(monkeypatch):
     """bfloat16 compute mode: rounding differs between the paths, so the
     contract is answer agreement, not bitwise equality."""

@@ -97,6 +97,7 @@ def test_mega_train_forward_matches_xla_at_zero_dropout(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_mega_train_dropout_masks_deterministic(monkeypatch):
     """Same rng -> identical stochastic forward; different rng differs;
     keep-rate matches the configured dropout."""
@@ -120,6 +121,7 @@ def test_mega_train_dropout_masks_deterministic(monkeypatch):
     assert not np.allclose(a1, b)
 
 
+@pytest.mark.slow
 def test_mega_train_grad_through_dropout_finite_difference(monkeypatch):
     """Custom-VJP grads match finite differences THROUGH the dropout
     masks (masks are pure functions of (seed, b, t, site), so the loss
