@@ -41,6 +41,10 @@ SIZES = {
     "1b": (2048, 16, 22, 5504),
     "2b": (2560, 20, 24, 6912),
     "3b": (2560, 20, 36, 6912),
+    # Llama-7B shape (reference deployed regime, eval/model_utils.py:127):
+    # 6.7B decoder params = 13.5 GB bf16 weights; decode fits one 16 GB
+    # chip (training does not — that's the tp=2 regime).
+    "7b": (4096, 32, 32, 11008),
 }
 
 

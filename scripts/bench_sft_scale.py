@@ -27,6 +27,7 @@ from stair_tpu.llm.videochat import VideoChatConfig, VideoChatModel
 
 SIZES = {
     # name: (d_model, heads, layers, d_ff)
+    "tiny": (256, 4, 2, 688),          # CPU smoke
     "1b": (2048, 16, 22, 5504),
     "2b": (2560, 20, 24, 6912),
     "3b": (2560, 20, 36, 6912),
@@ -56,6 +57,15 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--split-update", action="store_true",
+                    help="decouple grad computation from the optimizer "
+                         "update: grads come out of one jit, then each "
+                         "parameter leaf updates in its own donated jit. "
+                         "The fused step's params+grads+updates transient "
+                         "(~18 GB at 3B) never materializes — peak is "
+                         "params+grads during backward, params+grads+"
+                         "factored-state during the leaf sweep. This is "
+                         "what fits 3B SFT on one 16 GB chip.")
     args = ap.parse_args()
 
     d, heads, layers, ff = SIZES[args.size]
@@ -102,6 +112,11 @@ def main():
     }
 
     opt = optax.adafactor(learning_rate=2e-5)
+
+    if args.split_update:
+        run_split_update(args, model, params, opt, batch)
+        return
+
     opt_state = jax.jit(opt.init)(params)
     mem_report("after opt init")
 
@@ -152,6 +167,70 @@ def main():
           f"({tokens/dt:.0f} tok/s), model {flops/dt/1e12:.1f} TFLOP/s "
           f"= {flops/dt/peak*100:.1f}% MFU "
           f"(excl. remat recompute), loss={float(losses[-1]):.3f}")
+    mem_report("steady state")
+
+
+def run_split_update(args, model, params, opt, batch):
+    """3B-on-one-chip route: backward in one jit (peak = params + grads +
+    remat activations), then a per-leaf donated update sweep (adafactor
+    state is per-parameter independent, so leaf-local updates are exactly
+    the fused update). Reference regime being fit:
+    video_chatgpt/train/train.py:480-563 (7B on 8xA100-40GB)."""
+    import functools
+
+    from stair_tpu.utils.mfu import chip_peak_flops
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    states = [jax.jit(opt.init)(leaf) for leaf in leaves]
+    mem_report("after per-leaf opt init")
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(lambda p: model.sft_loss(p, batch))
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def upd(p, s, g):
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    def one_step(params):
+        loss, grads = grad_fn(params)
+        gl = jax.tree_util.tree_leaves(grads)
+        nonlocal leaves, states
+        new_leaves = []
+        for i, (p, g) in enumerate(zip(leaves, gl)):
+            p, states[i] = upd(p, states[i], g)
+            new_leaves.append(p)
+        leaves = new_leaves
+        return jax.tree_util.tree_unflatten(treedef, leaves), loss
+
+    t0 = time.perf_counter()
+    params, loss = one_step(params)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s "
+          f"loss={float(loss):.3f}")
+    mem_report("after first split step")
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        params, loss = one_step(params)
+        float(loss)  # fetch-terminate
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    d, heads, layers, ff = SIZES[args.size]
+    n_dec = sum(
+        x.size for x in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_unflatten(treedef, leaves)["decoder"])
+    )
+    B, L = args.batch, args.seq
+    tokens = B * L
+    flops = 6.0 * n_dec * tokens + 12.0 * B * L * L * d * layers
+    peak = chip_peak_flops() or float("nan")
+    print(f"SFT step (split-update) {args.size} B={B} L={L}: "
+          f"{dt*1e3:.1f} ms/step ({tokens/dt:.0f} tok/s), model "
+          f"{flops/dt/1e12:.1f} TFLOP/s = {flops/dt/peak*100:.1f}% MFU "
+          f"(excl. remat recompute), loss={float(loss):.3f}")
     mem_report("steady state")
 
 
