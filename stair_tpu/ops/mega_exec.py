@@ -120,7 +120,8 @@ def _masked_softmax_f(x, mask):
     return e / jnp.maximum(jnp.sum(e), 1e-30)
 
 
-def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False):
+def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False,
+                 fsoft=False):
     OP_PUSH = int(Opcode.PUSH_TEXT)
     OP_ANDV = int(Opcode.AND_VEC)
     OP_ANDA = int(Opcode.AND_ATTN)
@@ -152,6 +153,7 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False):
                xw_ref, xb_ref, qw_ref, qb_ref, taw1_ref, tab1_ref,
                taw2_ref, tab2_ref, exw1_ref, exb1_ref, exw2_ref, exb2_ref,
                supw_ref, supb_ref, ffwf_ref, ffkw_ref, ffab_ref,
+               fltw_ref, fltk_ref, fltb_ref,
                lns_ref, lnb_ref, beta_ref,
                t1_ref, t2_ref, t3_ref, tb1_ref, tb2_ref, tb3_ref,
                *rest):
@@ -358,9 +360,28 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False):
             def _filter():
                 # Parity pooling: uniform sum over valid frames (the
                 # reference's degenerate softmax), weights*feat*mask.
+                # fsoft (--filter-attention softmax, the corrected
+                # variant): FILTER_V pools with a masked softmax over
+                # per-frame logits feat @ attn_w[:H] + (va @ attn_w[H:]
+                # + attn_b) on the already-VMEM-resident feat tile
+                # (mirrors models/nmn.py heavy_stages' softmax branch);
+                # keyword-string filters (FILTER_K) keep parity pooling.
+                if fsoft:
+                    logits = jnp.dot(
+                        feat_s[...], fltw_ref[...],
+                        preferred_element_type=jnp.float32,
+                    )[:, 0]                                  # [F] f32
+                    kb = (jnp.dot(va.astype(dt)[None, :], fltk_ref[...],
+                                  preferred_element_type=jnp.float32)
+                          [0, 0]
+                          + fltb_ref[...].astype(jnp.float32)[0, 0])
+                    soft = _masked_softmax_f(logits + kb, vmask_b)
+                    w = jnp.where(op == OP_FV, soft, vm)
+                else:
+                    w = vm
                 pooled = jnp.sum(
                     feat_s[...].astype(jnp.float32)
-                    * (vm * vm)[:, None], axis=0
+                    * (w * vm)[:, None], axis=0
                 )                                            # [H] f32
                 nv_s[...] = jax.nn.relu(
                     lin_dt(pooled[None, :], fdw_ref, fdb_ref[...])
@@ -634,6 +655,8 @@ def prepare_args(cfg, mods, tables, trace_fields, video_halves,
         aux_vec = jnp.zeros((B, T, H), dt)
 
     ffw = mods["filterframe"]["attn_w"].astype(dt)           # [2H, 1]
+    flw = mods["filter"]["attn_w"].astype(dt)                # [2H, 1]
+    fsoft = getattr(cfg, "filter_attention", "parity") == "softmax"
 
     def row(x):
         return jnp.asarray(x, dt).reshape(1, -1)
@@ -663,11 +686,13 @@ def prepare_args(cfg, mods, tables, trace_fields, video_halves,
         row(mods["superlative"]["dense"]["b"]),
         ffw[:H], ffw[H:],
         jnp.asarray(mods["filterframe"]["attn_b"], dt).reshape(1, 1),
+        flw[:H], flw[H:],
+        jnp.asarray(mods["filter"]["attn_b"], dt).reshape(1, 1),
         row(tmp["ln"]["scale"]), row(tmp["ln"]["bias"]),
         row(mods["relate"]["beta"][:F]),
         t1m, t2m, t3m, tb1, tb2, tb3,
     )
-    meta = (B, T, Nv, Nf, Na, F, H, Hh, L, jnp.dtype(dt).name)
+    meta = (B, T, Nv, Nf, Na, F, H, Hh, L, jnp.dtype(dt).name, fsoft)
     return meta, args
 
 
@@ -680,7 +705,7 @@ def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
     masks derived from (seed, example, step, site) so the backward
     kernel (``ops/mega_grad.py``) reproduces them instead of storing.
     """
-    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name = meta
+    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft = meta
     dt = jnp.dtype(dt_name)
     train = seed is not None
 
@@ -705,7 +730,8 @@ def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
         in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     kernel = _make_kernel(T, Nv, Nf, Na, F, H, L, dt,
-                          rate=rate if train else 0.0, train=train)
+                          rate=rate if train else 0.0, train=train,
+                          fsoft=fsoft)
     rv, rf, ra = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -108,7 +108,8 @@ def _vdot(a32, b32):
     return _vsum(a32 * b32)
 
 
-def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
+def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train,
+                     fsoft=False):
     OP_PUSH = int(Opcode.PUSH_TEXT)
     OP_ANDV = int(Opcode.AND_VEC)
     OP_ANDA = int(Opcode.AND_ATTN)
@@ -157,6 +158,7 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
                                                   nxt())
         supw_ref, supb_ref = nxt(), nxt()
         ffwf_ref, ffkw_ref, ffab_ref = nxt(), nxt(), nxt()
+        fltw_ref, fltk_ref, fltb_ref = nxt(), nxt(), nxt()
         lns_ref, lnb_ref, beta_ref = nxt(), nxt(), nxt()
         t1_ref, t2_ref, t3_ref = nxt(), nxt(), nxt()
         tb1_ref, tb2_ref, tb3_ref = nxt(), nxt(), nxt()
@@ -182,6 +184,7 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
                                               nxt())
         dsupw_o, dsupb_o = nxt(), nxt()
         dffwf_o, dffkw_o, dffab_o = nxt(), nxt(), nxt()
+        dfltw_o, dfltk_o, dfltb_o = nxt(), nxt(), nxt()
         dlns_o, dlnb_o, dbeta_o = nxt(), nxt(), nxt()
         dt1_o, dt2_o, dt3_o = nxt(), nxt(), nxt()
         dtb1_o, dtb2_o, dtb3_o = nxt(), nxt(), nxt()
@@ -209,8 +212,8 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
             dfdb_o, dcw_o, dcb_o, deqw_o, deqb_o, dxw_o, dxb_o, dqw_o,
             dqb_o, dtaw1_o, dtab1_o, dtaw2_o, dtab2_o, dexw1_o, dexb1_o,
             dexw2_o, dexb2_o, dsupw_o, dsupb_o, dffwf_o, dffkw_o,
-            dffab_o, dlns_o, dlnb_o, dbeta_o, dt1_o, dt2_o, dt3_o,
-            dtb1_o, dtb2_o, dtb3_o,
+            dffab_o, dfltw_o, dfltk_o, dfltb_o, dlns_o, dlnb_o, dbeta_o,
+            dt1_o, dt2_o, dt3_o, dtb1_o, dtb2_o, dtb3_o,
         )
 
         @pl.when(b == 0)
@@ -556,15 +559,62 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
 
             @when((op == OP_FV) | (op == OP_FK), 'filter')
             def _filter():
+                if fsoft:
+                    # Recompute the masked-softmax weights exactly as the
+                    # forward (dt-rounded feat, f32 logits + scalar
+                    # keyword bias); FILTER_K keeps parity pooling.
+                    logits = jnp.dot(
+                        feat_s[...].astype(dt), fltw_ref[...],
+                        preferred_element_type=jnp.float32,
+                    )[:, 0]
+                    kb = (jnp.dot(va.astype(dt)[None, :], fltk_ref[...],
+                                  preferred_element_type=jnp.float32)
+                          [0, 0]
+                          + fltb_ref[...].astype(jnp.float32)[0, 0])
+                    l = logits + kb
+                    neg = jnp.float32(-jnp.inf)
+                    xm = jnp.where(vmask_b, l, neg)
+                    xm = xm - jnp.max(xm)
+                    e = jnp.where(vmask_b, jnp.exp(xm), 0.0)
+                    soft = e / jnp.maximum(_vsum(e), 1e-30)     # [F]
+                    w = jnp.where(op == OP_FV, soft, vm)
+                else:
+                    w = vm
                 pooled = jnp.sum(
-                    feat_s[...] * (vm * vm)[:, None], axis=0)
+                    feat_s[...] * (w * vm)[:, None], axis=0)
                 pre = lin_dt(pooled[None, :], fdw_ref, fdb_ref[...])
                 g1 = gov[None, :] * _gt0(pre)
                 acc_const(dfdw_o, outer(pooled[None, :], g1))
                 acc_const(dfdb_o, g1)
                 gpool = mmT(g1, fdw_ref[...])[0]
                 gfeat_s[...] = (gfeat_s[...]
-                                + (vm * vm)[:, None] * gpool[None, :])
+                                + (w * vm)[:, None] * gpool[None, :])
+                if fsoft:
+                    @when(op == OP_FV, 'filter_sm')
+                    def _softmax_bwd():
+                        # d pooled/d w_f = feat[f] * vm[f]; softmax VJP
+                        # then routes d logits into feat (via attn_w[:H])
+                        # and the attn weights. The keyword half is a
+                        # scalar shift of every logit, so its exact
+                        # cotangent is sum(gl) == 0 by softmax shift
+                        # invariance — accumulated anyway for bit-parity
+                        # with the XLA autodiff (it computes the same
+                        # ~0 up to fp).
+                        gw = jnp.sum(feat_s[...] * gpool[None, :],
+                                     axis=1) * vm              # [F]
+                        gl = soft * (gw - _vdot(gw, soft))     # [F]
+                        colw = fltw_ref[...].astype(jnp.float32)[:, 0]
+                        gfeat_s[...] = (gfeat_s[...]
+                                        + gl[:, None] * colw[None, :])
+                        acc_const(dfltw_o,
+                                  outer(feat_s[...], gl[:, None]))
+                        gkb = _vsum(gl)
+                        acc_const(dfltk_o, va[:, None] * gkb)
+                        acc_const(dfltb_o, jnp.full(
+                            (1, 1), 1.0, jnp.float32) * gkb)
+                        acc_row(grv_s, s(F_VA),
+                                gkb * fltk_ref[...].astype(
+                                    jnp.float32)[:, 0])
 
             def _superlative_bwd(scores32, actions32, amask_f):
                 """VJP of the kernel's _superlative; returns
@@ -883,7 +933,7 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train):
 def backward_call(meta, rate, seed, args, outs, gouts, interpret=False):
     """Run the backward kernel; returns (dvfa, dvfb, dtoka, dtokb, daux,
     *weight_grads_f32) with weight grads in the args-tuple order."""
-    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name = meta
+    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft = meta
     dt = jnp.dtype(dt_name)
     train = seed is not None
 
@@ -931,7 +981,8 @@ def backward_call(meta, rate, seed, args, outs, gouts, interpret=False):
     ] + [jax.ShapeDtypeStruct(s, jnp.float32) for s in weight_shapes]
 
     kernel = _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt,
-                              rate if train else 0.0, train)
+                              rate if train else 0.0, train,
+                              fsoft=fsoft)
     res = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -34,7 +34,18 @@ def make_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
         if default is not None:
             devices = jax.devices(default.platform)
         else:
-            devices = jax.devices()
+            import os
+
+            plats = os.environ.get("JAX_PLATFORMS", "")
+            if plats:
+                # The axon TPU plugin ignores JAX_PLATFORMS, so a forced
+                # platform (e.g. CLI smoke runs / virtual CPU meshes with
+                # xla_force_host_platform_device_count) must be honored
+                # here explicitly or the mesh lands on the single tunnel
+                # chip.
+                devices = jax.devices(plats.split(",")[0])
+            else:
+                devices = jax.devices()
     if dp <= 0:
         dp = max(1, len(devices) // tp)
     need = dp * tp

@@ -273,6 +273,9 @@ def load_parser(model_dir, args=None):
     return model, params, src_vocab, tgt_vocab
 
 
+_DECODE_CACHE: dict = {}
+
+
 def decode_beams(model, params, src_vocab, tgt_vocab, pairs, args):
     """Beam-decode all pairs; yields (qa_id, question, [program tokens] x K)."""
     src, src_mask, _ = encode_pairs(
@@ -284,12 +287,22 @@ def decode_beams(model, params, src_vocab, tgt_vocab, pairs, args):
         "t5" if isinstance(model, T5Seq2Seq) else "word"
     )
 
-    @jax.jit
-    def decode(params, s, sm):
-        return beam_search(
-            model, params, s, sm, beam_size=args.beam_size,
-            max_len=args.max_tgt_len, bos=bos_id, eos=eos_id, pad=pad_id,
-        )
+    # One jitted beam search per (model, decode config): a fresh closure per
+    # call would re-trace and recompile on every decode_beams invocation, so
+    # a "warm pass" before timing would warm nothing and the timed pass
+    # would pay compile (ADVICE r4).
+    key = (id(model), args.beam_size, args.max_tgt_len, bos_id, eos_id,
+           pad_id)
+    decode = _DECODE_CACHE.get(key)
+    if decode is None:
+        @jax.jit
+        def decode(params, s, sm):
+            return beam_search(
+                model, params, s, sm, beam_size=args.beam_size,
+                max_len=args.max_tgt_len, bos=bos_id, eos=eos_id, pad=pad_id,
+            )
+
+        _DECODE_CACHE[key] = decode
 
     for i in range(0, len(pairs), bs):
         chunk = pairs[i:i + bs]

@@ -296,11 +296,17 @@ def _dp_batch_specs(batch, mesh):
     from jax.sharding import PartitionSpec as P
 
     dp = mesh.shape["dp"]
+    # The example axis is identified by LENGTH, not just dp-divisibility:
+    # a replicated table whose leading dim happens to divide by dp (and is
+    # missing from REPLICATED_BATCH_KEYS) must not be silently split — the
+    # ff_* slot-table class of bug (ADVICE r4).
+    bsz = batch["answer"].shape[0]
 
     def spec(key, val):
         if key in REPLICATED_BATCH_KEYS:
             return P()
-        if getattr(val, "ndim", 0) >= 1 and val.shape[0] % dp == 0:
+        if (getattr(val, "ndim", 0) >= 1 and val.shape[0] == bsz
+                and bsz % dp == 0):
             return P("dp")
         return P()
 
@@ -339,6 +345,7 @@ def make_train_step(model, optimizer, args, tables=None, mesh=None):
     gradient all-reduce over dp riding ICI; tp>1 meshes keep the GSPMD
     route (kernels off, see main())."""
     smap = use_shard_map(args, mesh)
+    dp_size = mesh.shape["dp"] if smap else 1
 
     def loss_fn(p, batch, rng, module_gate, decoder_gate, axis_name=None):
         return total_loss(
@@ -355,6 +362,9 @@ def make_train_step(model, optimizer, args, tables=None, mesh=None):
                 args, "contrastive_window", 0
             ) or 0,
             axis_name=axis_name,
+            # Static global/local batch ratio: the contrastive window must
+            # be compared to the GLOBAL batch inside the shard (ADVICE r4).
+            axis_size=dp_size if axis_name is not None else 1,
         )
 
     def metrics_of(loss, aux):
@@ -829,6 +839,7 @@ def main(args=None):
             "rng": np.asarray(jax.device_get(rng)).tolist(),
         },
     )
+    gc_timer.close()
     return best_acc
 
 

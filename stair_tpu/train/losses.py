@@ -110,7 +110,7 @@ def filterframe_loss(model, params, out, batch, axis_name=None):
 
 
 def supervision_losses(model, params, out, batch, train_filterframe=False,
-                       contrastive_window=0, axis_name=None):
+                       contrastive_window=0, axis_name=None, axis_size=1):
     """All intermediate losses + decoder CE.
 
     Returns (scalars dict, telemetry) where scalars contains ``module_loss``
@@ -205,7 +205,14 @@ def supervision_losses(model, params, out, batch, train_filterframe=False,
     cls = batch["sup_class"]                                    # [B, T, P]
     pair_valid = (cls >= 0) & (ch == SUP_CONTRAST)[..., None]
     neg_mask = batch["class_valid"][None, None, :] > 0          # [1, 1, C]
-    if contrastive_window and contrastive_window < B:
+    # The window is compared against the GLOBAL batch (B x axis_size):
+    # under shard_map the per-shard B can EQUAL the window, and skipping
+    # the masking there would score against the whole replicated class
+    # table — full in-batch negatives — while the single-device step uses
+    # windowed negatives (ADVICE r4 medium). With W == per-shard B the
+    # masking below degenerates to one group spanning the shard, which is
+    # exactly the global window group (shards are contiguous slices).
+    if contrastive_window and contrastive_window < B * axis_size:
         # Parity mode for the reference's gradient-accumulation-window
         # negatives (train_module.py:360-406): each example's contrastive
         # CE scores only classes that appear as gold in its own
@@ -316,6 +323,7 @@ def total_loss(
     train_filterframe: bool = False,
     contrastive_window: int = 0,
     axis_name: str | None = None,
+    axis_size: int = 1,
 ):
     """Full training objective; returns (loss, aux).
 
@@ -326,6 +334,7 @@ def total_loss(
     scalars, telemetry = supervision_losses(
         model, params, out, batch, train_filterframe=train_filterframe,
         contrastive_window=contrastive_window, axis_name=axis_name,
+        axis_size=axis_size,
     )
     answer_loss = scalars["decoder_loss"]
     if batch.get("cand_emb") is not None:

@@ -43,7 +43,24 @@ class GCTimer:
         self.total = 0.0
         self.collections = 0
         self._t0 = None
+        self._registered = True
         gc.callbacks.append(self._cb)
+
+    def close(self):
+        """Deregister from gc.callbacks. Without this every constructed
+        timer stays registered for process lifetime, so repeated trainer
+        construction (tests, drivers) accumulates callbacks (ADVICE r4)."""
+        import gc
+
+        if self._registered:
+            try:
+                gc.callbacks.remove(self._cb)
+            except ValueError:
+                pass
+            self._registered = False
+
+    def __del__(self):
+        self.close()
 
     def _cb(self, phase, info):
         if phase == "start":

@@ -59,12 +59,13 @@ PROGRAMS = [
 ]
 
 
-def _build(max_video_length=F, hidden=H):
+def _build(max_video_length=F, hidden=H, filter_attention="parity"):
     cfg = NMNConfig(
         hidden_size=hidden, video_size=VD, text_size=TD,
         answer_vocab_length=7, max_video_length=max_video_length,
         object_types=3, have_pretrain_head=True,
         max_steps=16, num_vec=10, num_frames=6, num_attn=8, dropout=0.0,
+        filter_attention=filter_attention,
     )
     model = VideoNMN(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -128,6 +129,15 @@ def test_megakernel_all_opcodes_parity(monkeypatch):
     cfg, model, params = _build()
     batch, _ = _batch(cfg, PROGRAMS)
     _compare(model, params, batch, monkeypatch)
+
+
+def test_megakernel_softmax_filter_parity(monkeypatch):
+    """--filter-attention softmax now runs IN the megakernel (VERDICT r4
+    #3): masked-softmax FILTER_V pooling must match the XLA scan's
+    softmax branch over the full opcode mix."""
+    cfg, model, params = _build(filter_attention="softmax")
+    batch, _ = _batch(cfg, PROGRAMS)
+    _compare(model, params, batch, monkeypatch, rtol=2e-5, atol=5e-5)
 
 
 @pytest.mark.slow

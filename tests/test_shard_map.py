@@ -117,6 +117,52 @@ def test_shard_map_eval_step_matches_single_device(
     np.testing.assert_allclose(r1["cos_sum"], r2["cos_sum"], rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_shard_map_window_equals_shard_batch(
+    train_world, cpu_devices, monkeypatch  # noqa: F811
+):
+    """W == per-shard batch: the sharded step must still apply window
+    masking (compared against the GLOBAL batch), not fall back to full
+    in-batch negatives over the replicated class table (ADVICE r4)."""
+    ds = train_world
+
+    class WindowArgs(NoDropArgs):
+        contrastive_window = Args.batch_size // 8  # == per-shard batch
+
+    monkeypatch.setenv("STAIR_MEGA_TRAIN", "interpret")
+    monkeypatch.setenv("STAIR_MEGA_EXEC", "interpret")
+    monkeypatch.setenv("STAIR_FUSED_EXEC", "0")
+    args = WindowArgs()
+    model, _ = build_model(args, [ds])
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(lr_schedule(args))
+    batcher = make_batcher(args, ds, model, seed=0)
+    bdict = batch_to_device_dict(next(batcher.epoch(shuffle=False)))
+    rng = jax.random.PRNGKey(7)
+    gate = jnp.float32(1.0)
+
+    single = make_train_step(model, opt, args)
+    _, _, m1 = single(params, opt.init(params), bdict, rng, gate, gate)
+
+    mesh = make_mesh(dp=8, tp=1, devices=cpu_devices)
+    assert use_shard_map(args, mesh)
+    sharded_step = make_train_step(model, opt, args, mesh=mesh)
+    params2 = jax.device_put(
+        params, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+    )
+    sharded = shard_batch(bdict, mesh)
+    _, _, m2 = sharded_step(params2, opt.init(params2), sharded, rng,
+                            gate, gate)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(m1["loss_sums"]), np.asarray(m2["loss_sums"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_use_shard_map_guard(cpu_devices):
     mesh_dp = make_mesh(dp=8, tp=1, devices=cpu_devices)
     mesh_tp = make_mesh(dp=4, tp=2, devices=cpu_devices)
