@@ -44,6 +44,7 @@ from stair_tpu.models import modules as M
 from stair_tpu.ops.lstm import (
     bilstm,
     bilstm_pallas,
+    bilstm_pallas_train,
     init_lstm_params,
     init_transformer_encoder_params,
     transformer_encode,
@@ -159,8 +160,18 @@ class VideoNMN:
         consumes it directly so the concatenated [B, L, H] array — and
         its HBM copy — is dead code in logits-only jits.
         """
-        if self.config.encoder == "lstm" and deterministic:
-            env = _os.environ.get("STAIR_PALLAS_LSTM", "auto")
+        if self.config.encoder == "lstm":
+            # Deterministic forwards use the forward-only kernel;
+            # training uses the custom-VJP twin (bilstm_pallas_train:
+            # hand-written Pallas backward over the stored h/c state
+            # stacks — no autodiff scan residuals). Separate gates so
+            # either can be killed independently:
+            # STAIR_PALLAS_LSTM / STAIR_PALLAS_LSTM_TRAIN:
+            # auto (on for TPU), 0 (off), interpret (CPU interpreter).
+            env = _os.environ.get(
+                "STAIR_PALLAS_LSTM" if deterministic
+                else "STAIR_PALLAS_LSTM_TRAIN", "auto"
+            )
             _default_dev = getattr(jax.config, "jax_default_device", None)
             on_tpu = (
                 jax.default_backend() != "cpu"
@@ -172,7 +183,8 @@ class VideoNMN:
                     if self.config.compute_dtype == "bfloat16"
                     else jnp.float32
                 )
-                return bilstm_pallas(
+                fn = bilstm_pallas if deterministic else bilstm_pallas_train
+                return fn(
                     enc_params, x, mask, mm_dtype=self._mm_dtype(),
                     interpret=env == "interpret", token_dtype=dt,
                     return_halves=True,

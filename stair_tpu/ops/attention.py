@@ -99,7 +99,10 @@ def _flash_kernel(
     kv_start = ki * block_kv
     # Skip tiles that are entirely masked: strictly above the causal diagonal
     # AND beyond the visible prefix, or entirely past the valid length.
-    run = kv_start < valid
+    # Fully-padded q tiles (self-attention rows >= valid, the pad-to-512
+    # route's tail) skip too: their rows were already all-masked (o = 0,
+    # lse = inf via the zero row-sum), so this only removes dead compute.
+    run = (kv_start < valid) & (q_start < valid)
     if causal:
         run &= (kv_start <= q_start + block_q - 1) | (kv_start < prefix)
 
@@ -250,7 +253,9 @@ def _bwd_dq_kernel(
     valid = valid_ref[b]
     q_start = qi * block_q
     kv_start = ki * block_kv
-    run = kv_start < valid
+    # q-tile skip mirrors the forward: fully-padded q rows have lse=inf,
+    # so p=0 and their dq is zero — dead compute under pad-to-512 routing.
+    run = (kv_start < valid) & (q_start < valid)
     if causal:
         run &= (kv_start <= q_start + block_q - 1) | (kv_start < prefix)
 
@@ -303,7 +308,8 @@ def _bwd_dkv_kernel(
     valid = valid_ref[b]
     q_start = qi * block_q
     kv_start = ki * block_kv
-    run = kv_start < valid
+    # Padded q tiles contribute exactly zero to dk/dv (p=0 via lse=inf).
+    run = (kv_start < valid) & (q_start < valid)
     if causal:
         run &= (kv_start <= q_start + block_q - 1) | (kv_start < prefix)
 

@@ -133,10 +133,15 @@ def bilstm(params, x, mask, mm_dtype=None):
 # mirroring the executor kernels' gating.
 
 
-def _bilstm_kernel(L, out_dtype):
+def _bilstm_kernel(L, out_dtype, train=False):
     def kernel(xpf_ref, xpb_ref, mf_ref, mb_ref, whf_ref, whb_ref,
-               bf_ref, bb_ref, tf_ref, tb_ref, sent_ref,
-               hf_s, cf_s, hb_s, cb_s):
+               bf_ref, bb_ref, tf_ref, tb_ref, sent_ref, *rest):
+        if train:
+            (hfst_ref, cfst_ref, hbst_ref, cbst_ref,
+             hf_s, cf_s, hb_s, cb_s) = rest
+        else:
+            hfst_ref = cfst_ref = hbst_ref = cbst_ref = None
+            hf_s, cf_s, hb_s, cb_s = rest
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -146,7 +151,8 @@ def _bilstm_kernel(L, out_dtype):
             hb_s[...] = jnp.zeros_like(hb_s)
             cb_s[...] = jnp.zeros_like(cb_s)
 
-        def direction(xp_ref, m_ref, wh_ref, b_ref, h_s, c_s, tok_ref):
+        def direction(xp_ref, m_ref, wh_ref, b_ref, h_s, c_s, tok_ref,
+                      hst_ref, cst_ref):
             h, c = h_s[...], c_s[...]
             gates = (
                 xp_ref[...].astype(jnp.float32)
@@ -170,12 +176,20 @@ def _bilstm_kernel(L, out_dtype):
             c_s[...] = c
             # tokens are mask-zeroed (the scan path multiplies at the end)
             tok_ref[...] = (h * valid).astype(out_dtype)
+            if hst_ref is not None:
+                # Training residuals: the POST-MASK carried state, f32 —
+                # exactly what the backward kernel needs to recompute each
+                # step's gates/activations bit-identically (h enters the
+                # recurrent matmul through the same dtype cast) with no
+                # gate stacks stored.
+                hst_ref[...] = h
+                cst_ref[...] = c
             return h
 
         hf = direction(xpf_ref, mf_ref, whf_ref, bf_ref, hf_s, cf_s,
-                       tf_ref)
+                       tf_ref, hfst_ref, cfst_ref)
         hb = direction(xpb_ref, mb_ref, whb_ref, bb_ref, hb_s, cb_s,
-                       tb_ref)
+                       tb_ref, hbst_ref, cbst_ref)
         # Final carries = sentence feature (always f32); the block's
         # index map is constant over t, so only the last write hits HBM.
         hd = hf.shape[1]
@@ -214,6 +228,25 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
     """
     B, L, _ = x.shape
     h = params["fwd"]["wh"].shape[0]
+    xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b, (Bp, Bt) = _prep(
+        params, x, mask, mm_dtype, block_batch
+    )
+    tok_f, tok_b, sent = _forward_call(
+        L, h, Bp, Bt, token_dtype, interpret, False,
+        xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+    )
+    tok_f = tok_f[:B].reshape(B, L, h)
+    tok_b = tok_b[:B].reshape(B, L, h)
+    tokens = jnp.concatenate([tok_f, tok_b], axis=-1)
+    if return_halves:
+        return tokens, sent[:B], (tok_f, tok_b)
+    return tokens, sent[:B]
+
+
+def _prep(params, x, mask, mm_dtype, block_batch):
+    """Hoisted input projection + padding/packing (differentiable XLA)."""
+    B, L, _ = x.shape
+    h = params["fwd"]["wh"].shape[0]
     pf, pb = params["fwd"], params["bwd"]
 
     if mm_dtype is None:
@@ -247,12 +280,51 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
     xp_f = xp_f.reshape(Bp, L * 4 * h)
     xp_b = xp_b.reshape(Bp, L * 4 * h)
     mask_t = mask_p.astype(jnp.float32).T[:, None, :]        # [L, 1, Bp]
+    return xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b, (Bp, Bt)
+
+
+def _forward_call(L, h, Bp, Bt, token_dtype, interpret, train,
+                  xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b):
+    """The forward pallas_call; with ``train`` also emits the f32 h/c
+    state stacks per direction (backward-pass residuals)."""
 
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    tok_f, tok_b, sent = pl.pallas_call(
-        _bilstm_kernel(L, token_dtype),
+    out_specs = [
+        pl.BlockSpec((Bt, h), lambda i, t: (i, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, h), lambda i, t: (i, L - 1 - t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 2 * h), lambda i, t: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
+        jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
+        jax.ShapeDtypeStruct((Bp, 2 * h), jnp.float32),
+    ]
+    if train:
+        # State stacks live in ORIGINAL position order for both
+        # directions (the bwd direction's internal step t touches
+        # position L-1-t, like its token output).
+        out_specs += [
+            pl.BlockSpec((Bt, h), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),          # hf stack
+            pl.BlockSpec((Bt, h), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),          # cf stack
+            pl.BlockSpec((Bt, h), lambda i, t: (i, L - 1 - t),
+                         memory_space=pltpu.VMEM),          # hb stack
+            pl.BlockSpec((Bt, h), lambda i, t: (i, L - 1 - t),
+                         memory_space=pltpu.VMEM),          # cb stack
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Bp, L * h), jnp.float32)
+            for _ in range(4)
+        ]
+
+    return pl.pallas_call(
+        _bilstm_kernel(L, token_dtype, train=train),
         grid=(Bp // Bt, L),
         in_specs=[
             pl.BlockSpec((Bt, 4 * h), lambda i, t: (i, t),
@@ -265,19 +337,8 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
                          memory_space=pltpu.VMEM),
             full(), full(), full(), full(),
         ],
-        out_specs=[
-            pl.BlockSpec((Bt, h), lambda i, t: (i, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, h), lambda i, t: (i, L - 1 - t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 2 * h), lambda i, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
-            jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
-            jax.ShapeDtypeStruct((Bp, 2 * h), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((Bt, h), jnp.float32),   # hf
             pltpu.VMEM((Bt, h), jnp.float32),   # cf
@@ -287,6 +348,245 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
         interpret=interpret,
     )(xp_f, xp_b, mask_t, mask_t, wh_f, wh_b, bias_f, bias_b)
 
+
+# ---------------------------------------------------------------------------
+# Pallas BiLSTM training twin (hand-written backward)
+# ---------------------------------------------------------------------------
+#
+# The training encoder used to ride the autodiff lax.scan, whose backward
+# re-reads stacked residuals (gate activations + h/c carries, ~6 [L, B, h]
+# f32 streams per direction) from HBM — the traffic the forward kernel
+# proved was worth ~5.4 ms/batch (REPORT r3 #13). This twin stores only
+# the two POST-MASK state stacks (h, c; f32) per direction and recomputes
+# each step's gates in the backward from the stored h_{t-1} — the same
+# [Bt, h] @ [h, 4h] matmul the forward paid, bit-identically (h enters
+# through the same dtype cast), so the linearization point matches the
+# forward exactly. The backward walks the time grid in reverse with the
+# (dh, dc) adjoint state in VMEM scratch, emits per-step dgates straight
+# into the dxp stacks (which XLA contracts against x / wi for the input
+# projection grads), and accumulates dwh/dbias into constant-index-map
+# f32 blocks (cross-tile reduction on-chip, one writeback).
+#
+# LSTM adjoint recurrences (masked steps carry the adjoint through
+# unchanged, mirroring the forward's state carry):
+#   dh_t       = dh_carry + dtok_t * valid_t
+#   dc_new     = dc_carry * valid_t + dh_t * valid_t * o * (1 - tanh2(c_t))
+#   dgates     = [di*i(1-i), df*f(1-f), dg(1-g2), do*o(1-o)]
+#   dh_carry'  = dh_t * (1-valid_t) + dgates @ wh^T
+#   dc_carry'  = dc_carry * (1-valid_t) + dc_new * f
+
+
+def _bilstm_bwd_kernel(L):
+    def kernel(xpf_ref, xpb_ref, mf_ref, mb_ref, whf_ref, whb_ref,
+               bf_ref, bb_ref,
+               hfp_ref, cfc_ref, cfp_ref,
+               hbp_ref, cbc_ref, cbp_ref,
+               dtf_ref, dtb_ref, dsent_ref,
+               dxpf_ref, dxpb_ref, dwhf_o, dwhb_o, dbf_o, dbb_o,
+               dhf_s, dcf_s, dhb_s, dcb_s):
+        i_idx = pl.program_id(0)
+        k = pl.program_id(1)
+        h = dhf_s.shape[1]
+        first = k == L - 1                   # both directions' step 0
+
+        @pl.when((i_idx == 0) & (k == 0))
+        def _init_wgrads():
+            dwhf_o[...] = jnp.zeros_like(dwhf_o)
+            dwhb_o[...] = jnp.zeros_like(dwhb_o)
+            dbf_o[...] = jnp.zeros_like(dbf_o)
+            dbb_o[...] = jnp.zeros_like(dbb_o)
+
+        @pl.when(k == 0)
+        def _init_adjoint():
+            ds = dsent_ref[...].astype(jnp.float32)
+            dhf_s[...] = ds[:, :h]
+            dhb_s[...] = ds[:, h:]
+            dcf_s[...] = jnp.zeros_like(dcf_s)
+            dcb_s[...] = jnp.zeros_like(dcb_s)
+
+        def direction(xp_ref, m_ref, wh_ref, b_ref, hp_ref, cc_ref,
+                      cp_ref, dtok_ref, dxp_ref, dwh_o, db_o, dh_s,
+                      dc_s):
+            valid = m_ref[0, 0, :].astype(jnp.float32)[:, None]  # [Bt, 1]
+            hp = jnp.where(first, 0.0, hp_ref[...])              # h_{t-1}
+            cp = jnp.where(first, 0.0, cp_ref[...])              # c_{t-1}
+            cc = cc_ref[...]                                     # c_t
+            gates = (
+                xp_ref[...].astype(jnp.float32)
+                + b_ref[...].astype(jnp.float32)
+                + jnp.dot(hp.astype(wh_ref.dtype), wh_ref[...],
+                          preferred_element_type=jnp.float32)
+            )
+            ig, fg, gg, og = jnp.split(gates, 4, axis=-1)
+            ia = jax.nn.sigmoid(ig)
+            fa = jax.nn.sigmoid(fg)
+            oa = jax.nn.sigmoid(og)
+            ga = jnp.tanh(gg)
+            dh = dh_s[...] + dtok_ref[...].astype(jnp.float32) * valid
+            dh_new = dh * valid
+            tc = jnp.tanh(cc)
+            dc_new = dc_s[...] * valid + dh_new * oa * (1.0 - tc * tc)
+            dgates = jnp.concatenate([
+                dc_new * ga * ia * (1.0 - ia),
+                dc_new * cp * fa * (1.0 - fa),
+                dc_new * ia * (1.0 - ga * ga),
+                dh_new * tc * oa * (1.0 - oa),
+            ], axis=-1)                                          # [Bt, 4h]
+            dxp_ref[...] = dgates.astype(dxp_ref.dtype)
+            dwh_o[...] = dwh_o[...] + jax.lax.dot_general(
+                hp.astype(wh_ref.dtype), dgates.astype(wh_ref.dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_o[...] = db_o[...] + jnp.sum(dgates, axis=0,
+                                            keepdims=True)
+            dh_s[...] = dh * (1.0 - valid) + jax.lax.dot_general(
+                dgates.astype(wh_ref.dtype), wh_ref[...],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dc_s[...] = dc_s[...] * (1.0 - valid) + dc_new * fa
+
+        direction(xpf_ref, mf_ref, whf_ref, bf_ref, hfp_ref, cfc_ref,
+                  cfp_ref, dtf_ref, dxpf_ref, dwhf_o, dbf_o, dhf_s,
+                  dcf_s)
+        direction(xpb_ref, mb_ref, whb_ref, bb_ref, hbp_ref, cbc_ref,
+                  cbp_ref, dtb_ref, dxpb_ref, dwhb_o, dbb_o, dhb_s,
+                  dcb_s)
+
+    return kernel
+
+
+def _backward_call(L, h, Bp, Bt, interpret,
+                   xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+                   hf, cf, hb, cb, dtok_f, dtok_b, dsent):
+    """Run the backward kernel over the reverse time grid."""
+
+    def full():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def blk(index_map):
+        return pl.BlockSpec((Bt, h), index_map, memory_space=pltpu.VMEM)
+
+    def blk4(index_map):
+        return pl.BlockSpec((Bt, 4 * h), index_map,
+                            memory_space=pltpu.VMEM)
+
+    # Grid axis k walks time in REVERSE for both directions: the fwd
+    # direction's step t = L-1-k lives at position t; the bwd direction's
+    # step t_b = L-1-k lives at position k (its stacks are stored in
+    # position order, like its token output).
+    dxp_f, dxp_b, dwh_f, dwh_b, dbf, dbb = pl.pallas_call(
+        _bilstm_bwd_kernel(L),
+        grid=(Bp // Bt, L),
+        in_specs=[
+            blk4(lambda i, k: (i, L - 1 - k)),               # xp_f @ t
+            blk4(lambda i, k: (i, k)),                       # xp_b @ t_b
+            pl.BlockSpec((1, 1, Bt), lambda i, k: (L - 1 - k, 0, i),
+                         memory_space=pltpu.VMEM),           # mask fwd
+            pl.BlockSpec((1, 1, Bt), lambda i, k: (k, 0, i),
+                         memory_space=pltpu.VMEM),           # mask bwd
+            full(), full(), full(), full(),                  # wh, bias
+            blk(lambda i, k: (i, jnp.maximum(L - 2 - k, 0))),  # hf @ t-1
+            blk(lambda i, k: (i, L - 1 - k)),                  # cf @ t
+            blk(lambda i, k: (i, jnp.maximum(L - 2 - k, 0))),  # cf @ t-1
+            blk(lambda i, k: (i, jnp.minimum(k + 1, L - 1))),  # hb @ t-1
+            blk(lambda i, k: (i, k)),                          # cb @ t
+            blk(lambda i, k: (i, jnp.minimum(k + 1, L - 1))),  # cb @ t-1
+            blk(lambda i, k: (i, L - 1 - k)),                  # dtok_f
+            blk(lambda i, k: (i, k)),                          # dtok_b
+            pl.BlockSpec((Bt, 2 * h), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),             # dsent
+        ],
+        out_specs=[
+            blk4(lambda i, k: (i, L - 1 - k)),               # dxp_f
+            blk4(lambda i, k: (i, k)),                       # dxp_b
+            full(), full(), full(), full(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L * 4 * h), xp_f.dtype),
+            jax.ShapeDtypeStruct((Bp, L * 4 * h), xp_b.dtype),
+            jax.ShapeDtypeStruct((h, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, h), jnp.float32),   # dhf
+            pltpu.VMEM((Bt, h), jnp.float32),   # dcf
+            pltpu.VMEM((Bt, h), jnp.float32),   # dhb
+            pltpu.VMEM((Bt, h), jnp.float32),   # dcb
+        ],
+        interpret=interpret,
+    )(xp_f, xp_b, mask_t, mask_t, wh_f, wh_b, bias_f, bias_b,
+      hf, cf, cf, hb, cb, cb, dtok_f, dtok_b, dsent)
+    return dxp_f, dxp_b, dwh_f, dwh_b, dbf, dbb
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _train_core(L, h, Bp, Bt, token_dtype_name, interpret):
+    """custom_vjp'd (xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b) ->
+    (tok_f, tok_b, sent) for fixed geometry."""
+    token_dtype = jnp.dtype(token_dtype_name)
+
+    @jax.custom_vjp
+    def core(xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b):
+        out = _forward_call(L, h, Bp, Bt, token_dtype, interpret, False,
+                            xp_f, xp_b, mask_t, wh_f, wh_b, bias_f,
+                            bias_b)
+        return out[0], out[1], out[2]
+
+    def fwd(xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b):
+        tok_f, tok_b, sent, hf, cf, hb, cb = _forward_call(
+            L, h, Bp, Bt, token_dtype, interpret, True,
+            xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+        )
+        res = (xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+               hf, cf, hb, cb)
+        return (tok_f, tok_b, sent), res
+
+    def bwd(res, g):
+        (xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+         hf, cf, hb, cb) = res
+        dtok_f, dtok_b, dsent = g
+        dxp_f, dxp_b, dwh_f, dwh_b, dbf, dbb = _backward_call(
+            L, h, Bp, Bt, interpret,
+            xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
+            hf, cf, hb, cb,
+            dtok_f.astype(token_dtype), dtok_b.astype(token_dtype),
+            dsent.astype(jnp.float32),
+        )
+        return (dxp_f, dxp_b, jnp.zeros_like(mask_t),
+                dwh_f.astype(wh_f.dtype), dwh_b.astype(wh_b.dtype),
+                dbf.astype(bias_f.dtype), dbb.astype(bias_b.dtype))
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def bilstm_pallas_train(params, x, mask, mm_dtype=None, interpret=False,
+                        block_batch=512, token_dtype=jnp.float32,
+                        return_halves=False):
+    """Differentiable batched BiLSTM as Pallas forward + backward kernels.
+
+    Same contract as :func:`bilstm_pallas`, but with a hand-written
+    backward (see the design note above), so TPU training no longer pays
+    the autodiff scan's stacked-residual HBM traffic. Gradients flow to
+    every parameter (wi/bi/bh via the XLA input projection in ``_prep``,
+    wh/bias via the kernel's accumulators) and to ``x``.
+    """
+    B, L, _ = x.shape
+    h = params["fwd"]["wh"].shape[0]
+    xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b, (Bp, Bt) = _prep(
+        params, x, mask, mm_dtype, block_batch
+    )
+    core = _train_core(L, h, Bp, Bt, jnp.dtype(token_dtype).name,
+                       bool(interpret))
+    tok_f, tok_b, sent = core(xp_f, xp_b, mask_t, wh_f, wh_b,
+                              bias_f, bias_b)
     tok_f = tok_f[:B].reshape(B, L, h)
     tok_b = tok_b[:B].reshape(B, L, h)
     tokens = jnp.concatenate([tok_f, tok_b], axis=-1)

@@ -375,6 +375,54 @@ def test_flash_route_padding_decisions():
     assert probe(100)[0] == "dense"      # no MXU-friendly block at all
 
 
+def test_flash_padded_route_backward_interpret_parity():
+    """Backward kernels on the padded route (q-tile skip active: rows
+    beyond valid_len) must match autodiff of the dense reference."""
+    from stair_tpu.ops.attention import (
+        _flash_backward,
+        _flash_forward,
+        _pad_seq,
+    )
+
+    rng = np.random.RandomState(4)
+    B, H, L, D = 2, 2, 300, 32
+    q, k, v = (
+        jnp.asarray(rng.randn(B, H, L, D).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    prefix = jnp.array([40, 0], jnp.int32)
+    valid = jnp.array([300, 220], jnp.int32)
+    scale = 1 / np.sqrt(D)
+
+    def ref_loss(q, k, v):
+        out = reference_attention(q, k, v, prefix, valid, True, scale)
+        mask = (jnp.arange(L)[None, :] < valid[:, None])[:, None, :, None]
+        return jnp.sum(jnp.where(mask, out, 0.0) ** 2)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    P = 512
+    qp, kp, vp = _pad_seq(q, P), _pad_seq(k, P), _pad_seq(v, P)
+    out, lse = _flash_forward(
+        qp, kp, vp, prefix, valid, causal=True, sm_scale=scale,
+        block_q=128, block_kv=128, interpret=True, save_residuals=True,
+    )
+    mask = (jnp.arange(P)[None, :] < valid[:, None])[:, None, :, None]
+    do = 2.0 * jnp.where(mask, out, 0.0)
+    dq, dk, dv = _flash_backward(
+        qp, kp, vp, out, lse, do, prefix, valid, causal=True,
+        sm_scale=scale, block_q=128, block_kv=128, interpret=True,
+    )
+    for g_r, g_k_arr in zip(g_ref, (dq, dk, dv)):
+        for b in range(B):
+            nv = int(valid[b])
+            np.testing.assert_allclose(
+                np.asarray(g_k_arr)[b, :, :nv],
+                np.asarray(g_r)[b, :, :nv],
+                rtol=2e-4, atol=2e-5,
+            )
+
+
 def test_flash_padded_route_interpret_parity():
     """The padded kernel path (L=896 -> 1024 with valid_len masking) must
     match dense attention on the unpadded rows."""

@@ -118,6 +118,41 @@ def test_shard_map_eval_step_matches_single_device(
 
 
 @pytest.mark.slow
+def test_shard_map_train_step_dp_tp_mesh(
+    train_world, cpu_devices, monkeypatch  # noqa: F811
+):
+    """dp x tp mesh: the tp axis REPLICATES the NMN step under shard_map
+    (nothing in the model is worth tensor-sharding), so the result must
+    equal the single-device step and the kernels stay on (r4 weak #5)."""
+    ds = train_world
+    args, model, params, opt, bdict = _setup(ds, monkeypatch, "interpret")
+    rng = jax.random.PRNGKey(7)
+    gate = jnp.float32(1.0)
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+
+    single = make_train_step(model, opt, args)
+    p1, _, m1 = single(params, opt.init(params), bdict, rng, gate, gate)
+
+    mesh = make_mesh(dp=4, tp=2, devices=cpu_devices)
+    assert use_shard_map(args, mesh)
+    sharded_step = make_train_step(model, opt, args, mesh=mesh)
+    params2 = jax.device_put(
+        params_copy, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+    )
+    sharded = shard_batch(bdict, mesh)
+    p2, _, m2 = sharded_step(params2, opt.init(params2), sharded, rng,
+                             gate, gate)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(jax.device_get(p1))
+    l2 = jax.tree_util.tree_leaves(jax.device_get(p2))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_shard_map_window_equals_shard_batch(
     train_world, cpu_devices, monkeypatch  # noqa: F811
 ):
@@ -171,8 +206,18 @@ def test_use_shard_map_guard(cpu_devices):
         pass
 
     assert use_shard_map(A(), mesh_dp)
-    assert not use_shard_map(A(), mesh_tp)     # tp meshes: GSPMD route
+    # tp axes compose by replication (r4 weak #5): kernels stay on.
+    assert use_shard_map(A(), mesh_tp)
     assert not use_shard_map(A(), None)
+
+    # STAIR_SHARD_MAP=0 forces the GSPMD route for A/Bs.
+    import os
+
+    os.environ["STAIR_SHARD_MAP"] = "0"
+    try:
+        assert not use_shard_map(A(), mesh_dp)
+    finally:
+        del os.environ["STAIR_SHARD_MAP"]
 
     class BadBatch(Args):
         batch_size = 12                        # 12 % 8 != 0
