@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--reps-in-jit", type=int, default=8,
                     help="generations chained inside one jit so the "
                          "tunnel's fixed per-call cost amortizes")
+    ap.add_argument("--fast-init", action="store_true",
+                    help="constant bf16 weights via eval_shape instead "
+                         "of RNG init. Decode wall time is weight-value-"
+                         "independent (dense math), and sampling 6.7B "
+                         "normals on this single host core costs tens "
+                         "of minutes — the 7b arm's round-4/5 timeout.")
     args = ap.parse_args()
 
     d, heads, layers, ff = SIZES[args.size]
@@ -76,11 +82,21 @@ def main():
     model = VideoChatModel(cfg)
 
     with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(jax.random.PRNGKey(0))
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params
-        )
+        if args.fast_init:
+            shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+            params = jax.tree_util.tree_map(
+                lambda s: jnp.full(
+                    s.shape, 0.01,
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype,
+                ),
+                shapes,
+            )
+        else:
+            params = model.init(jax.random.PRNGKey(0))
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params
+            )
     n_dec = sum(
         x.size for x in jax.tree_util.tree_leaves(params["decoder"])
     )

@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="dots",
+                    choices=["dots", "full"],
+                    help="'dots' keeps projection outputs (~220 MB/layer "
+                         "at 3b shapes -> ~8 GB of residuals at 36 "
+                         "layers, OOM next to 12 GB of params+grads); "
+                         "'full' recomputes everything from layer "
+                         "boundaries — the 3b-on-16GB setting")
     ap.add_argument("--split-update", action="store_true",
                     help="decouple grad computation from the optimizer "
                          "update: grads come out of one jit, then each "
@@ -72,6 +79,7 @@ def main():
     dec = DecoderConfig.llama(
         vocab_size=32000, d_model=d, num_heads=heads, num_layers=layers,
         d_ff=ff, max_len=max(args.seq, 1024), remat=not args.no_remat,
+        remat_policy=args.remat_policy,
     )
     # Vision tower unused in SFT (video features arrive precomputed);
     # keep it tiny so its parameters don't count against the budget.

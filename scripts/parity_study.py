@@ -222,10 +222,13 @@ def parser_loop(args):
     decoded = list(parser_cli.decode_beams(model, params, sv, tv, pairs, da))
     dt = time.time() - t0
     results["decode_qps"] = round(len(pairs) / dt, 1)
-    results["exact_match_top1"] = round(sum(
+    n_em = sum(
         1 for (qa, _q, beams), (_, _, gold, _) in zip(decoded, pairs)
         if beams and beams[0] == gold
-    ) / max(len(pairs), 1), 4)
+    )
+    em, em_lo, em_hi = wilson(n_em, len(pairs))
+    results["exact_match_top1"] = round(em, 4)
+    results["exact_match_ci95"] = [round(em_lo, 4), round(em_hi, 4)]
 
     tsv = os.path.join(parser_dir, "gen_test.tsv")
     with open(tsv, "w") as f:
@@ -261,12 +264,37 @@ def parser_loop(args):
              if args.contrastive_window else []))
         return eval_cli.main(eargs)
 
-    results["nmn_acc_gold_programs"] = round(
-        float(nmn_acc(os.path.join(out, "test.pkl"), "test_preds_gold.json")),
-        4)
-    results["nmn_acc_generated_programs"] = round(
-        float(nmn_acc(gen_pkl, "test_preds_generated.json")), 4)
+    acc_gold = float(
+        nmn_acc(os.path.join(out, "test.pkl"), "test_preds_gold.json"))
+    acc_gen = float(nmn_acc(gen_pkl, "test_preds_generated.json"))
+    results["nmn_acc_gold_programs"] = round(acc_gold, 4)
+    results["nmn_acc_generated_programs"] = round(acc_gen, 4)
     results["n_test"] = len(pairs)
+    # Wilson CIs + the PAIRED gold-vs-generated accuracy delta on the
+    # shared question set — the accuracy-parity obligation (r4 missing
+    # #4), with the same statistical hygiene as the contrastive-window
+    # study (r4 #10).
+    for key, acc in (("gold", acc_gold), ("generated", acc_gen)):
+        c = int(round(acc * len(pairs)))
+        _, lo, hi = wilson(c, len(pairs))
+        results[f"nmn_acc_{key}_ci95"] = [round(lo, 4), round(hi, 4)]
+    try:
+        g = _load_preds(os.path.join(run, "test_preds_gold.json"))
+        gen = _load_preds(os.path.join(run, "test_preds_generated.json"))
+        shared = sorted(set(g) & set(gen))
+        diffs = np.asarray(
+            [int(gen[qa][0] == gen[qa][1]) - int(g[qa][0] == g[qa][1])
+             for qa in shared], np.float64)
+        if len(diffs) >= 2:
+            mean = float(diffs.mean())
+            se = float(diffs.std(ddof=1) / math.sqrt(len(diffs)))
+            results["paired_generated_minus_gold"] = {
+                "n": len(diffs), "mean": round(mean, 4),
+                "ci95": [round(mean - 1.96 * se, 4),
+                         round(mean + 1.96 * se, 4)],
+            }
+    except FileNotFoundError:
+        pass
 
     print("parser_loop:", json.dumps(results, indent=1))
     with open(os.path.join(args.root, "parser_loop.json"), "w") as f:

@@ -116,25 +116,57 @@ def main():
     ap.add_argument("--out", default="STALL_AB.json")
     args = ap.parse_args()
 
-    arms = [run_arm(args, True), run_arm(args, False)]
+    # Interleaved A-B-A-B: a first single-pass run showed a large
+    # ORDER effect (the second arm reuses the server-side compile cache
+    # and runs on a settled host), so each arm runs twice in alternating
+    # order and windows pool across its two runs.
+    runs = [run_arm(args, True), run_arm(args, False),
+            run_arm(args, True), run_arm(args, False)]
+
+    def pooled(arm_name):
+        arm_runs = [r for r in runs if r["arm"] == arm_name]
+        windows = [w for r in arm_runs for w in r["raw_windows"]]
+
+        def dist(key):
+            vals = sorted(w[key] for w in windows if key in w)
+            if not vals:
+                return None
+            n = len(vals)
+            return {"median": vals[n // 2],
+                    "iqr": [vals[n // 4], vals[(3 * n) // 4]],
+                    "n_windows": n}
+
+        return {
+            "wall_seconds": [r["wall_seconds"] for r in arm_runs],
+            "steps_per_sec": dist("steps_per_sec"),
+            "step_ms_p50": dist("step_ms_p50"),
+            "step_ms_p99": dist("step_ms_p99"),
+            "report_fetch_ms": dist("report_fetch_ms"),
+            "batch_wait_ms": dist("batch_wait_ms"),
+            "dispatch_ms": dist("dispatch_ms"),
+            "gc_ms": dist("gc_ms"),
+        }
+
     result = {
         "config": {
             "epochs": args.epochs, "batch_size": args.batch_size,
             "hidden": args.hidden, "frames": args.frames,
             "report_interval": args.report_interval,
+            "design": "A-B-A-B interleaved, windows pooled per arm",
         },
-        "async": {k: v for k, v in arms[0].items() if k != "raw_windows"},
-        "blocking": {
-            k: v for k, v in arms[1].items() if k != "raw_windows"
+        "async": pooled("async"),
+        "blocking": pooled("blocking"),
+        "raw": {
+            f"{r['arm']}_{i}": r["raw_windows"]
+            for i, r in enumerate(runs)
         },
-        "raw": {a["arm"]: a["raw_windows"] for a in arms},
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    for a in arms:
-        print(a["arm"], json.dumps(
-            {k: a[k] for k in ("steps_per_sec", "step_ms_p50",
-                               "report_fetch_ms")}))
+    for name in ("async", "blocking"):
+        print(name, json.dumps(
+            {k: result[name][k] for k in ("steps_per_sec", "step_ms_p50",
+                                          "report_fetch_ms")}))
     print("wrote", args.out)
 
 

@@ -51,6 +51,11 @@ class DecoderConfig:
     #: chip — activation memory drops from O(layers x intermediates) to
     #: O(layers x layer-inputs).
     remat: bool = False
+    #: 'dots' keeps projection outputs (cheapest recompute; ~220 MB/layer
+    #: at d=2560/L=1024/B=4 — 36-layer configs pay ~8 GB); 'full' saves
+    #: only layer boundaries (~20 MB/layer) and recomputes everything —
+    #: what lets 3B params + grads + backward fit one 16 GB chip.
+    remat_policy: str = "dots"            # 'dots' | 'full'
 
     @property
     def kv_heads(self):
@@ -245,10 +250,13 @@ class Decoder:
             return x + _proj(layer["down"], h)
 
         if cfg.remat:
+            policy = (
+                None if cfg.remat_policy == "full"
+                else jax.checkpoint_policies
+                .checkpoint_dots_with_no_batch_dims
+            )
             one_layer = jax.checkpoint(
-                one_layer,
-                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-                prevent_cse=False,
+                one_layer, policy=policy, prevent_cse=False,
             )
         for layer in params["layers"]:
             x = one_layer(layer, x)

@@ -255,6 +255,13 @@ def main(args=None):
         from stair_tpu.train.loop import use_shard_map
 
         mesh = make_mesh(args.mesh_dp, args.mesh_tp)
+        if mesh.size == 1:
+            # The default --mesh-dp 0 resolves to a trivial 1x1 mesh on a
+            # single-chip host; that is the plain single-device path (the
+            # GSPMD branch below would disable the Pallas kernels on
+            # every default run — found in round 5).
+            mesh = None
+    if mesh is not None:
         print("mesh:", dict(mesh.shape))
         if not use_shard_map(args, mesh):
             os.environ.setdefault("STAIR_MEGA_EXEC", "0")

@@ -617,31 +617,41 @@ def main(args=None):
     if args.mesh_dp != 1 or args.mesh_tp != 1:
         try:
             mesh = make_mesh(args.mesh_dp, args.mesh_tp)
-            print("mesh:", dict(mesh.shape))
-            if use_shard_map(args, mesh):
-                # The train/eval steps run under jax.shard_map, so the
-                # Pallas megakernels execute per-shard (per-example
-                # grid) and stay ON — the fast path and the parallel
-                # path compose (VERDICT r3 #1). tp axes replicate the
-                # NMN step (nothing in it is worth tensor-sharding, see
-                # use_shard_map) instead of killing the kernels (r4 #5).
-                print("mesh: shard_map route, Pallas kernels enabled"
-                      + (" (tp axis replicates the NMN step)"
-                         if mesh.shape.get("tp", 1) > 1 else ""))
-            else:
-                # GSPMD fallback (STAIR_SHARD_MAP=0 or indivisible
-                # batch): plain jit + sharding annotations; GSPMD cannot
-                # partition a pallas_call, so the kernels default OFF
-                # here (set the env vars explicitly to force them; the
-                # XLA scan path is the sharding-validated one,
-                # tests/test_training.py sharded-parity).
-                os.environ.setdefault("STAIR_MEGA_TRAIN", "0")
-                os.environ.setdefault("STAIR_MEGA_EXEC", "0")
-                os.environ.setdefault("STAIR_FUSED_EXEC", "0")
-                os.environ.setdefault("STAIR_PALLAS_LSTM", "0")
-                os.environ.setdefault("STAIR_PALLAS_LSTM_TRAIN", "0")
+            if mesh.size == 1:
+                # --mesh-dp 0 (the default: "all local devices") on a
+                # single-chip host resolves to a trivial 1x1 mesh. That
+                # must be the plain single-device path — the GSPMD
+                # else-branch below would otherwise DISABLE every Pallas
+                # kernel on default runs (found in round 5: the stock
+                # trainer was silently riding the 4x-slower XLA scan).
+                mesh = None
         except ValueError as err:
             print("mesh unavailable, running single-device:", err)
+            mesh = None
+    if mesh is not None:
+        print("mesh:", dict(mesh.shape))
+        if use_shard_map(args, mesh):
+            # The train/eval steps run under jax.shard_map, so the
+            # Pallas megakernels execute per-shard (per-example
+            # grid) and stay ON — the fast path and the parallel
+            # path compose (VERDICT r3 #1). tp axes replicate the
+            # NMN step (nothing in it is worth tensor-sharding, see
+            # use_shard_map) instead of killing the kernels (r4 #5).
+            print("mesh: shard_map route, Pallas kernels enabled"
+                  + (" (tp axis replicates the NMN step)"
+                     if mesh.shape.get("tp", 1) > 1 else ""))
+        else:
+            # GSPMD fallback (STAIR_SHARD_MAP=0 or indivisible
+            # batch): plain jit + sharding annotations; GSPMD cannot
+            # partition a pallas_call, so the kernels default OFF
+            # here (set the env vars explicitly to force them; the
+            # XLA scan path is the sharding-validated one,
+            # tests/test_training.py sharded-parity).
+            os.environ.setdefault("STAIR_MEGA_TRAIN", "0")
+            os.environ.setdefault("STAIR_MEGA_EXEC", "0")
+            os.environ.setdefault("STAIR_FUSED_EXEC", "0")
+            os.environ.setdefault("STAIR_PALLAS_LSTM", "0")
+            os.environ.setdefault("STAIR_PALLAS_LSTM_TRAIN", "0")
 
     optimizer = optax.adamw(
         lr_schedule(args), weight_decay=args.weight_decay
