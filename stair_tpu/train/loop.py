@@ -451,12 +451,22 @@ def make_eval_step(model, tables=None, mesh=None, args=None):
     def eval_body(params, tbl, batch, axis_name=None):
         batch = materialize_batch(batch, tbl or None)
         out = model.forward(params, batch, deterministic=True)
-        scalars, telemetry = supervision_losses(
-            model, params, out, batch, axis_name=axis_name
-        )
-        cos_sum, cos_count = eval_contrastive_similarity(
-            model, params, out, batch
-        )
+        if "heads" in params["modules"]:
+            scalars, telemetry = supervision_losses(
+                model, params, out, batch, axis_name=axis_name
+            )
+            cos_sum, cos_count = eval_contrastive_similarity(
+                model, params, out, batch
+            )
+        else:
+            # No pretrain heads (module_loss_weight == 0 configs, e.g.
+            # the STAR choice-head models): predictions only — the
+            # per-family loss channels need the heads' parameters.
+            telemetry = {
+                "loss_sums": jnp.zeros((len(FAMILIES),)),
+                "loss_counts": jnp.zeros((len(FAMILIES),)),
+            }
+            cos_sum = cos_count = jnp.float32(0.0)
         if batch.get("cand_emb") is not None:
             from stair_tpu.models.nmn import choice_logits
 
@@ -734,11 +744,15 @@ def main(args=None):
 
     timer = profiling.StepTimer()
     gc_timer = profiling.GCTimer()
-    # Async metric fetch (STAIR_ASYNC_METRICS=0 disables, for stall A/Bs):
-    # each step's tiny metric arrays start their D2H copy immediately, so
-    # the report-interval device_get stops paying one BLOCKING tunnel round
-    # trip per leaf per step (the measured ~2 s periodic host stall).
-    async_metrics = os.environ.get("STAIR_ASYNC_METRICS", "1") != "0"
+    # Async metric fetch — measured and REJECTED as the default
+    # (STALL_AB.json, round 5): an interleaved A-B-A-B study (4 runs,
+    # 48 windows/arm, parity-world config) put the async arm at 16.0
+    # steps/s median vs 21.0 blocking, with HIGHER report-fetch time
+    # (1.73 s vs 1.27 s per 50-step window) — on this tunneled backend
+    # the per-step copy_to_host_async calls contend with step dispatch
+    # instead of hiding the report fetch. Kept as an opt-in
+    # (STAIR_ASYNC_METRICS=1) for backends with a real async D2H path.
+    async_metrics = os.environ.get("STAIR_ASYNC_METRICS", "0") == "1"
     t_start = time.time()
     window = []
     t_wait = t_dispatch = 0.0

@@ -132,8 +132,13 @@ def test_localize_scores_match(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_softmax_filter_mode_and_bf16(setup):
-    """Config variants: corrected Filter attention and bf16 execution."""
+    """Config variants: corrected Filter attention and bf16 execution.
+
+    Slow tier: the softmax Filter branch now has dedicated quick-tier
+    megakernel parity tests (test_mega_exec/test_mega_grad), and the
+    per-step fused kernel is the mega kernels' fallback."""
     import dataclasses
 
     cfg, model, params, batch = setup

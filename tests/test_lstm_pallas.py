@@ -140,7 +140,7 @@ def _train_loss(fn, p, x, mask, **kw):
 
 @pytest.mark.parametrize("B,L,D,h,bb", [
     (5, 9, 12, 8, 4),     # batch padding + ragged masks
-    (8, 7, 16, 16, 8),    # single tile
+    pytest.param(8, 7, 16, 16, 8, marks=pytest.mark.slow),  # single tile
 ])
 def test_pallas_bilstm_train_grad_parity_f32(B, L, D, h, bb):
     """The hand-written backward (bilstm_pallas_train) must match

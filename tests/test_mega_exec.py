@@ -131,10 +131,27 @@ def test_megakernel_all_opcodes_parity(monkeypatch):
     _compare(model, params, batch, monkeypatch)
 
 
+# Filter-focused program subset for the softmax-mode parity tests: the
+# softmax branch only changes FILTER_V/FILTER_K pooling, so the quick
+# tier runs these programs (every Filter variant + one consumer chain)
+# instead of the full 27-program sweep (tier budget, VERDICT r4 #8).
+FILTER_PROGRAMS = [p for p in PROGRAMS if p[0][0] == "Filter"] + [
+    (["Exists", "cup", "Filter", "video", "objects"], {}),
+]
+
+
 def test_megakernel_softmax_filter_parity(monkeypatch):
     """--filter-attention softmax now runs IN the megakernel (VERDICT r4
     #3): masked-softmax FILTER_V pooling must match the XLA scan's
-    softmax branch over the full opcode mix."""
+    softmax branch."""
+    cfg, model, params = _build(filter_attention="softmax")
+    batch, _ = _batch(cfg, FILTER_PROGRAMS)
+    _compare(model, params, batch, monkeypatch, rtol=2e-5, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_megakernel_softmax_filter_parity_all_opcodes(monkeypatch):
+    """Softmax mode over the FULL opcode mix (slow tier)."""
     cfg, model, params = _build(filter_attention="softmax")
     batch, _ = _batch(cfg, PROGRAMS)
     _compare(model, params, batch, monkeypatch, rtol=2e-5, atol=5e-5)

@@ -81,9 +81,13 @@ def test_mega_train_grad_parity(monkeypatch, programs):
 def test_mega_train_grad_parity_softmax_filter(monkeypatch):
     """Softmax-Filter gradient parity (VERDICT r4 #3): the in-kernel
     masked-softmax pooling's hand-written VJP (softmax jacobian + the
-    attn_w head) must match autodiff of the XLA softmax branch."""
+    attn_w head) must match autodiff of the XLA softmax branch. Runs the
+    Filter-focused program subset (the branch only changes FILTER_V/K
+    pooling; the full-opcode sweep is the parity-mode test above)."""
+    from tests.test_mega_exec import FILTER_PROGRAMS
+
     cfg, model, params = _build(filter_attention="softmax")
-    batch, _ = _batch(cfg, PROGRAMS)
+    batch, _ = _batch(cfg, FILTER_PROGRAMS)
     rng = jax.random.PRNGKey(7)
 
     v_ref, g_ref = _grads(model, params, batch, monkeypatch, "ref", rng)

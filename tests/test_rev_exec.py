@@ -81,11 +81,18 @@ def _assert_tree_close(g0, g1, rtol, atol):
         )
 
 
+# The reversible executor is an OPT-IN escape hatch (STAIR_REV=1;
+# measured tie vs the autodiff scan, REPORT r3 #11) — one grad-parity
+# combo stays in the quick tier, the sweep rides the slow tier
+# (tier budget, VERDICT r4 #8).
 @pytest.mark.parametrize("dtype,dropout,aux,rtol,atol", [
-    ("float32", False, False, 1e-5, 1e-7),
     ("float32", True, False, 1e-5, 1e-7),
-    ("float32", True, True, 1e-5, 1e-7),
-    ("bfloat16", True, False, 1e-2, 1e-4),
+    pytest.param("float32", False, False, 1e-5, 1e-7,
+                 marks=pytest.mark.slow),
+    pytest.param("float32", True, True, 1e-5, 1e-7,
+                 marks=pytest.mark.slow),
+    pytest.param("bfloat16", True, False, 1e-2, 1e-4,
+                 marks=pytest.mark.slow),
 ])
 def test_rev_grads_match_autodiff(monkeypatch, dtype, dropout, aux, rtol,
                                   atol):
