@@ -187,7 +187,13 @@ class VideoNMN:
                 return fn(
                     enc_params, x, mask, mm_dtype=self._mm_dtype(),
                     interpret=env == "interpret", token_dtype=dt,
-                    return_halves=True,
+                    # Eval halves stay in the kernel's flat [B, 1, L*h]
+                    # layout: the megakernel reads that buffer verbatim,
+                    # so the XLA relayout copy between the two kernels
+                    # (2 x 0.4 ms/fwd at B=1024) is gone. Training keeps
+                    # 3-D halves (the train kernel's custom VJP owes
+                    # cotangents in the consumer's layout).
+                    return_halves="flat" if deterministic else True,
                 )
         tokens, sent = jax.vmap(
             lambda xx, mm: self._encode(enc_params, xx, mm)

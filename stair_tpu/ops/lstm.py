@@ -174,8 +174,13 @@ def _bilstm_kernel(L, out_dtype, train=False):
             c = jnp.where(valid > 0, c_new, c)
             h_s[...] = h
             c_s[...] = c
-            # tokens are mask-zeroed (the scan path multiplies at the end)
-            tok_ref[...] = (h * valid).astype(out_dtype)
+            # tokens are mask-zeroed (the scan path multiplies at the end).
+            # Output rides [Bp, 1, L*h] ((Bt, 1, h) blocks): the singleton
+            # keeps Mosaic's last-two-dims rule satisfied while letting a
+            # downstream Pallas consumer (the executor megakernel) read
+            # the SAME buffer with (1, 1, F*h) blocks — no XLA relayout
+            # copy between the kernels (profiled 2 x 0.4 ms/fwd @ B=1024).
+            tok_ref[...] = (h * valid).astype(out_dtype)[:, None, :]
             if hst_ref is not None:
                 # Training residuals: the POST-MASK carried state, f32 —
                 # exactly what the backward kernel needs to recompute each
@@ -235,9 +240,15 @@ def bilstm_pallas(params, x, mask, mm_dtype=None, interpret=False,
         L, h, Bp, Bt, token_dtype, interpret, False,
         xp_f, xp_b, mask_t, wh_f, wh_b, bias_f, bias_b,
     )
-    tok_f = tok_f[:B].reshape(B, L, h)
-    tok_b = tok_b[:B].reshape(B, L, h)
+    # Kernel outputs are [Bp, 1, L*h]; the 3-D view pays an XLA relayout
+    # copy, so it is built lazily — flat halves go straight into the
+    # executor megakernel and the copies are dead code in logits jits.
+    flat_f, flat_b = tok_f[:B], tok_b[:B]
+    tok_f = flat_f.reshape(B, L, h)
+    tok_b = flat_b.reshape(B, L, h)
     tokens = jnp.concatenate([tok_f, tok_b], axis=-1)
+    if return_halves == "flat":
+        return tokens, sent[:B], (flat_f, flat_b)
     if return_halves:
         return tokens, sent[:B], (tok_f, tok_b)
     return tokens, sent[:B]
@@ -292,16 +303,16 @@ def _forward_call(L, h, Bp, Bt, token_dtype, interpret, train,
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out_specs = [
-        pl.BlockSpec((Bt, h), lambda i, t: (i, t),
+        pl.BlockSpec((Bt, 1, h), lambda i, t: (i, 0, t),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, h), lambda i, t: (i, L - 1 - t),
+        pl.BlockSpec((Bt, 1, h), lambda i, t: (i, 0, L - 1 - t),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 2 * h), lambda i, t: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
-        jax.ShapeDtypeStruct((Bp, L * h), token_dtype),
+        jax.ShapeDtypeStruct((Bp, 1, L * h), token_dtype),
+        jax.ShapeDtypeStruct((Bp, 1, L * h), token_dtype),
         jax.ShapeDtypeStruct((Bp, 2 * h), jnp.float32),
     ]
     if train:
@@ -422,7 +433,7 @@ def _bilstm_bwd_kernel(L):
             fa = jax.nn.sigmoid(fg)
             oa = jax.nn.sigmoid(og)
             ga = jnp.tanh(gg)
-            dh = dh_s[...] + dtok_ref[...].astype(jnp.float32) * valid
+            dh = dh_s[...] + dtok_ref[:, 0, :].astype(jnp.float32) * valid
             dh_new = dh * valid
             tc = jnp.tanh(cc)
             dc_new = dc_s[...] * valid + dh_new * oa * (1.0 - tc * tc)
@@ -493,8 +504,10 @@ def _backward_call(L, h, Bp, Bt, interpret,
             blk(lambda i, k: (i, jnp.minimum(k + 1, L - 1))),  # hb @ t-1
             blk(lambda i, k: (i, k)),                          # cb @ t
             blk(lambda i, k: (i, jnp.minimum(k + 1, L - 1))),  # cb @ t-1
-            blk(lambda i, k: (i, L - 1 - k)),                  # dtok_f
-            blk(lambda i, k: (i, k)),                          # dtok_b
+            pl.BlockSpec((Bt, 1, h), lambda i, k: (i, 0, L - 1 - k),
+                         memory_space=pltpu.VMEM),             # dtok_f
+            pl.BlockSpec((Bt, 1, h), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),             # dtok_b
             pl.BlockSpec((Bt, 2 * h), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),             # dsent
         ],
@@ -587,8 +600,8 @@ def bilstm_pallas_train(params, x, mask, mm_dtype=None, interpret=False,
                        bool(interpret))
     tok_f, tok_b, sent = core(xp_f, xp_b, mask_t, wh_f, wh_b,
                               bias_f, bias_b)
-    tok_f = tok_f[:B].reshape(B, L, h)
-    tok_b = tok_b[:B].reshape(B, L, h)
+    tok_f = tok_f[:B, 0].reshape(B, L, h)
+    tok_b = tok_b[:B, 0].reshape(B, L, h)
     tokens = jnp.concatenate([tok_f, tok_b], axis=-1)
     if return_halves:
         return tokens, sent[:B], (tok_f, tok_b)

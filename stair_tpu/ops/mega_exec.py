@@ -121,7 +121,7 @@ def _masked_softmax_f(x, mask):
 
 
 def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False,
-                 fsoft=False):
+                 fsoft=False, flat=False):
     OP_PUSH = int(Opcode.PUSH_TEXT)
     OP_ANDV = int(Opcode.AND_VEC)
     OP_ANDA = int(Opcode.AND_ATTN)
@@ -181,11 +181,21 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False,
         # Encoded video arrives as the BiLSTM's two direction stacks;
         # the [F, H] concat happens here in VMEM instead of in an XLA
         # copy over HBM (the fused array is dead code in logits jits).
+        # ``flat`` inputs are the LSTM kernel's [B, 1, F*Hh] buffers read
+        # verbatim ((1, 1, F*Hh) blocks) and reshaped in VMEM — the XLA
+        # relayout copy between the kernels disappears.
+        Hh = H // 2
+
+        def half(ref):
+            if flat:
+                return ref[0, 0].reshape(-1, Hh)
+            return ref[0]
+
         rv_s[...] = jnp.zeros((Nv, H), dt)
         ra_s[...] = jnp.zeros((Na, F), dt)
         rf_s[...] = jnp.zeros((Nf, F, H), dt)
         video = jnp.concatenate(
-            [vfa_ref[0], vfb_ref[0]], axis=-1
+            [half(vfa_ref), half(vfb_ref)], axis=-1
         )                                                    # [F, H] dt
         rf_s[0] = (video.astype(jnp.float32) * vm[:, None]).astype(dt)
 
@@ -260,9 +270,9 @@ def _make_kernel(T, Nv, Nf, Na, F, H, L, dt, rate=0.0, train=False,
                                    in_span * valid).astype(dt)
                 # Span mean per direction stack, concatenated — column-
                 # wise identical to the fused [L, H] dot.
-                pa = jnp.dot(span_w[None, :], toka_ref[0],
+                pa = jnp.dot(span_w[None, :], half(toka_ref),
                              preferred_element_type=jnp.float32)
-                pb = jnp.dot(span_w[None, :], tokb_ref[0],
+                pb = jnp.dot(span_w[None, :], half(tokb_ref),
                              preferred_element_type=jnp.float32)
                 push = (jnp.concatenate([pa, pb], axis=-1)
                         / jnp.maximum(jnp.sum(
@@ -591,11 +601,24 @@ def prepare_args(cfg, mods, tables, trace_fields, video_halves,
     """
     vf_a, vf_b = video_halves
     tok_a, tok_b = token_halves
-    B, F, Hh = vf_a.shape
+    # Flat halves ([B, 1, F*Hh] / [B, 1, L*Hh], straight off the Pallas
+    # BiLSTM) are detected by the singleton middle axis; geometry then
+    # comes from the model config.
+    flat = vf_a.ndim == 3 and vf_a.shape[1] == 1 and (
+        vf_a.shape[2] > vf_a.shape[1])
+    if flat:
+        B = vf_a.shape[0]
+        F = cfg.max_video_length
+        Hh = vf_a.shape[2] // F
+        L = tok_a.shape[2] // Hh
+        assert vf_a.shape == (B, 1, F * Hh), (vf_a.shape, F, Hh)
+        assert tok_a.shape == (B, 1, L * Hh)
+    else:
+        B, F, Hh = vf_a.shape
+        L = tok_a.shape[1]
+        assert tok_a.shape[-1] == Hh and tok_b.shape == tok_a.shape
     H = 2 * Hh
     assert vf_b.shape == vf_a.shape
-    assert tok_a.shape[-1] == Hh and tok_b.shape == tok_a.shape
-    L = tok_a.shape[1]
     T = trace_fields["opcode"].shape[1]
     dt = vf_a.dtype
     Nv, Nf, Na = cfg.num_vec + 1, cfg.num_frames + 1, cfg.num_attn + 1
@@ -692,7 +715,8 @@ def prepare_args(cfg, mods, tables, trace_fields, video_halves,
         row(mods["relate"]["beta"][:F]),
         t1m, t2m, t3m, tb1, tb2, tb3,
     )
-    meta = (B, T, Nv, Nf, Na, F, H, Hh, L, jnp.dtype(dt).name, fsoft)
+    meta = (B, T, Nv, Nf, Na, F, H, Hh, L, jnp.dtype(dt).name, fsoft,
+            flat)
     return meta, args
 
 
@@ -705,7 +729,7 @@ def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
     masks derived from (seed, example, step, site) so the backward
     kernel (``ops/mega_grad.py``) reproduces them instead of storing.
     """
-    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft = meta
+    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft, flat = meta
     dt = jnp.dtype(dt_name)
     train = seed is not None
 
@@ -715,13 +739,21 @@ def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
     def full():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    if flat:
+        vspec = pl.BlockSpec((1, 1, F * Hh), im_example,
+                             memory_space=pltpu.VMEM)
+        tspec = pl.BlockSpec((1, 1, L * Hh), im_example,
+                             memory_space=pltpu.VMEM)
+    else:
+        vspec = pl.BlockSpec((1, F, Hh), im_example,
+                             memory_space=pltpu.VMEM)
+        tspec = pl.BlockSpec((1, L, Hh), im_example,
+                             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, T, NSF), im_example, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, F, Hh), im_example, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, F, Hh), im_example, memory_space=pltpu.VMEM),
+        vspec, vspec,
         pl.BlockSpec((1, 1, F), im_example, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, Hh), im_example, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, Hh), im_example, memory_space=pltpu.VMEM),
+        tspec, tspec,
         pl.BlockSpec((1, 1, L), im_example, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, H), im_example, memory_space=pltpu.VMEM),
     ] + [full() for _ in range(len(args) - 8)]
@@ -731,7 +763,7 @@ def forward_call(meta, args, interpret=False, rate=0.0, seed=None):
 
     kernel = _make_kernel(T, Nv, Nf, Na, F, H, L, dt,
                           rate=rate if train else 0.0, train=train,
-                          fsoft=fsoft)
+                          fsoft=fsoft, flat=flat)
     rv, rf, ra = pl.pallas_call(
         kernel,
         grid=(B,),

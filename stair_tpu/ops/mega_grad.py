@@ -933,7 +933,10 @@ def _make_bwd_kernel(T, Nv, Nf, Na, F, H, L, dt, rate, train,
 def backward_call(meta, rate, seed, args, outs, gouts, interpret=False):
     """Run the backward kernel; returns (dvfa, dvfb, dtoka, dtokb, daux,
     *weight_grads_f32) with weight grads in the args-tuple order."""
-    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft = meta
+    B, T, Nv, Nf, Na, F, H, Hh, L, dt_name, fsoft, flat = meta
+    # The training route always passes 3-D halves (the flat layout is
+    # the eval megakernel's kernel-to-kernel handoff).
+    assert not flat, "mega_exec_train expects [B, F, Hh] halves"
     dt = jnp.dtype(dt_name)
     train = seed is not None
 

@@ -105,6 +105,15 @@ def test_nmn_forward_parity_with_pallas_lstm(monkeypatch):
             np.asarray(ref[key]), np.asarray(out[key]),
             rtol=2e-5, atol=2e-5, err_msg=key,
         )
+    # Kernel-to-kernel handoff: the LSTM kernel's flat [B, 1, L*h]
+    # halves feed the executor megakernel verbatim (no XLA relayout
+    # copy); full-forward parity against the all-XLA reference.
+    monkeypatch.setenv("STAIR_MEGA_EXEC", "interpret")
+    out2 = model.forward(params, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(ref["logits"]), np.asarray(out2["logits"]),
+        rtol=2e-5, atol=5e-5, err_msg="flat-halves megakernel logits",
+    )
 
 
 def test_training_gate_is_separate_from_eval_gate(monkeypatch):
